@@ -1,0 +1,198 @@
+"""Network blocks composed from the geometric primitives.
+
+Rebuilds of the reference's module layer:
+- `SetAbstraction`      (models/utils/common.py:180-214)
+- `SetAbstractionMSG`   (multi-scale grouping — reference lists MSG as a
+                         target config but ships only SSG)
+- `FeaturePropagation`  (models/utils/common.py:217-243)
+- `InvResMLP`           (models/utils/common.py:246-300)
+- `EdgeConv`            (models/dgcnn/dgcnn.py:60-77)
+- `TNet`                (models/PointNet/PointNet.py:6-38)
+
+All blocks are channels-last and fully jittable with static shapes.
+FPS's random start point is drawn from the flax 'fps' RNG stream when
+present (training); otherwise the start is deterministic (eval), making
+evaluation reproducible — the reference re-randomizes at eval too
+(common.py:22), which we deliberately improve on.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointseg import ops
+from pointseg.nn.mlp import SharedMLP, leaky_relu_02
+
+
+def _fps_key(module: nn.Module):
+    return module.make_rng("fps") if module.has_rng("fps") else None
+
+
+class SetAbstraction(nn.Module):
+    """FPS -> ball-query group -> shared MLP -> max/avg pool.
+
+    Returns (centroid_coords (B,C,3), features (B,C,mlps[-1])).
+    """
+
+    num_centroids: int
+    radius: float
+    mlps: Sequence[int]
+    K: int = 32
+    pooling: str = "max"
+    grouping_norm: bool = False  # PointNeXt divides local coords by r
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coords, features, train: bool = False, mask=None):
+        idx = ops.farthest_point_sampling(
+            coords, self.num_centroids, key=_fps_key(self), mask=mask
+        )
+        centroids = jnp.take_along_axis(coords, idx[..., None], axis=1)
+        regions = ops.group(
+            centroids,
+            coords,
+            features,
+            self.radius,
+            self.K,
+            normalize=self.grouping_norm,
+            mask=mask,
+        )  # (B, C, K, 3 + D)
+        regions = SharedMLP(self.mlps, dtype=self.dtype, name="point_net")(
+            regions, train=train
+        )
+        pooled = ops.reduce(regions, self.pooling, axis=2)
+        return centroids, pooled
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale grouping: one FPS, several radius-nested ball queries,
+    per-scale MLPs, features concatenated (PointNet++ MSG, Qi et al.).
+
+    Not present in the reference code but named in its target configs
+    (BASELINE.json configs[3]).
+    """
+
+    num_centroids: int
+    radii: Sequence[float]
+    Ks: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    pooling: str = "max"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coords, features, train: bool = False, mask=None):
+        assert len(self.radii) == len(self.Ks) == len(self.mlps)
+        idx = ops.farthest_point_sampling(
+            coords, self.num_centroids, key=_fps_key(self), mask=mask
+        )
+        centroids = jnp.take_along_axis(coords, idx[..., None], axis=1)
+        scales = []
+        for s, (r, k, widths) in enumerate(zip(self.radii, self.Ks, self.mlps)):
+            regions = ops.group(centroids, coords, features, r, k, mask=mask)
+            regions = SharedMLP(widths, dtype=self.dtype, name=f"scale_{s}")(
+                regions, train=train
+            )
+            scales.append(ops.reduce(regions, self.pooling, axis=2))
+        return centroids, jnp.concatenate(scales, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """3-NN inverse-distance upsampling + skip concat + per-point MLP.
+
+    forward(coords_tgt, coords_src, skip_features, features) mirrors the
+    reference call signature (common.py:231-243).
+    """
+
+    mlps: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coords_tgt, coords_src, skip, features, train: bool = False):
+        upsampled = ops.interpolate(features, coords_tgt, coords_src)
+        if skip is not None:
+            upsampled = jnp.concatenate([skip, upsampled], axis=-1)
+        return SharedMLP(self.mlps, dtype=self.dtype, name="point_net")(
+            upsampled, train=train
+        )
+
+
+class InvResMLP(nn.Module):
+    """PointNeXt inverted-residual MLP block (common.py:246-300):
+    group at same resolution (centroids == coords, normalize=True) ->
+    neighbor MLP -> pool -> inverted-bottleneck point MLP (4m -> m) ->
+    residual add.
+    """
+
+    radius: float
+    mlp_size: int
+    K: int
+    pooling: str = "max"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coords, features, train: bool = False, mask=None):
+        grouped = ops.group(
+            coords, coords, features, self.radius, self.K, normalize=True, mask=mask
+        )  # (B, N, K, 3 + D)
+        h = SharedMLP([self.mlp_size], dtype=self.dtype, name="neighbour_mlp")(
+            grouped, train=train
+        )
+        h = ops.reduce(h, self.pooling, axis=2)  # (B, N, m)
+        h = SharedMLP(
+            [4 * self.mlp_size, self.mlp_size], dtype=self.dtype, name="point_mlp"
+        )(h, train=train)
+        return coords, h + features
+
+
+class EdgeConv(nn.Module):
+    """DGCNN edge convolution (dgcnn.py:60-77): dynamic kNN graph ->
+    edge features cat(x_j - x_i, x_i) -> bias-free Dense + BN +
+    LeakyReLU(0.2) -> max over neighbors.
+    """
+
+    out_channels: int
+    k: int = 20
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, knn_on=None, mask=None):
+        edges = ops.graph_feature(x, self.k, knn_on=knn_on, mask=mask)
+        edges = SharedMLP(
+            [self.out_channels],
+            act=leaky_relu_02,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(edges, train=train)
+        if mask is not None:
+            # A padded point's own row is garbage but gets masked by the
+            # loss; its contribution to real points is already excluded
+            # from the kNN graph via `mask`.
+            pass
+        return jnp.max(edges, axis=2)  # (B, N, out)
+
+
+class TNet(nn.Module):
+    """PointNet spatial transformer (PointNet.py:6-38): per-point MLP
+    64-128-1024 -> global max-pool -> FC 512-256 -> k*k matrix + I.
+    """
+
+    k: int = 9
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        B = x.shape[0]
+        h = SharedMLP([64, 128, 1024], dtype=self.dtype)(x, train=train)
+        if mask is not None:
+            h = ops.masked_reduce(h, mask, "max", axis=1)
+        else:
+            h = jnp.max(h, axis=1)  # (B, 1024)
+        h = SharedMLP([512, 256], dtype=self.dtype)(h, train=train)
+        h = nn.Dense(self.k * self.k, dtype=self.dtype)(h)
+        eye = jnp.eye(self.k, dtype=h.dtype).reshape(1, self.k * self.k)
+        return (h + eye).reshape(B, self.k, self.k)

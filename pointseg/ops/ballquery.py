@@ -1,0 +1,120 @@
+"""Ball query + neighborhood grouping.
+
+TPU-native rebuild of the reference's dense ball-query grouping
+(reference: models/utils/common.py:37-71). The reference materializes a
+(B, C, N) pairwise-distance tensor by broadcast expansion and runs
+`topk(largest=False)`; here the distances are computed in matmul form
+(‖c‖² − 2·c·xᵀ + ‖x‖²) so the O(C·N) work rides the MXU, and selection
+uses `lax.top_k` on negated masked distances.
+
+Selection semantics match the reference: distances beyond the radius are
+set to +inf *before* the top-k, so when a ball holds fewer than K points
+the remaining slots are filled by arbitrary out-of-radius points (the
+reference's topk-over-inf behavior, SURVEY.md "hard parts" (b)), and the
+relative coordinates of those fillers are NOT re-normalized — exactly as
+in common.py:58-69. `lax.top_k` breaks ties by lowest index, like torch.
+
+An optional `mask` additionally excludes padded points from every ball
+(an improvement the reference lacks); omit it for strict parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared euclidean distances between two point sets.
+
+    Args:
+        a: (..., C, 3)
+        b: (..., N, 3)
+    Returns:
+        (..., C, N) squared distances, computed in matmul form so the
+        contraction maps onto the MXU. Clamped at 0 to absorb the small
+        negative values the factored form can produce.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., C, 1)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., N, 1)
+    # HIGHEST precision: distances feed top-k selection and 1/d weights,
+    # where the default bf16 matmul passes would visibly perturb results.
+    cross = jnp.einsum(
+        "...cd,...nd->...cn",
+        a,
+        b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def ball_query(
+    centroids: jax.Array,
+    coords: jax.Array,
+    radius: float,
+    K: int,
+    *,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """For each centroid, selects the K nearest points within `radius`.
+
+    Args:
+        centroids: (B, C, 3) query centers.
+        coords: (B, N, 3) all points.
+        radius: ball radius r; points with d² > r² are masked to +inf.
+        K: neighbors per ball (static).
+        mask: optional (B, N) bool; False points are excluded entirely.
+
+    Returns:
+        idx: (B, C, K) int32 indices into N.
+        in_ball: (B, C, K) bool — True where the selected point actually
+            lies within the radius (False marks the reference's
+            "filler" selections).
+    """
+    d2 = pairwise_sqdist(centroids, coords)  # (B, C, N)
+    r2 = jnp.float32(radius) ** 2
+    inside = d2 <= r2
+    if mask is not None:
+        inside = inside & mask[:, None, :]
+    # +inf outside the ball, then pick K smallest (reference common.py:58-61).
+    masked = jnp.where(inside, d2, jnp.inf)
+    neg_top, idx = jax.lax.top_k(-masked, K)  # ties -> lowest index, like torch
+    in_ball = neg_top > -jnp.inf
+    return idx.astype(jnp.int32), in_ball
+
+
+def group(
+    centroids: jax.Array,
+    coords: jax.Array,
+    features: jax.Array,
+    radius: float,
+    K: int,
+    normalize: bool = False,
+    *,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Ball-query grouping: gathers local regions around each centroid.
+
+    Mirrors `group` in the reference (common.py:37-71): gathers coords
+    and features of the K selected points, re-centers coordinates to the
+    centroid, optionally divides by the radius (PointNeXt's
+    `grouping_norm`), and concatenates along the channel axis.
+
+    Returns:
+        (B, C, K, 3 + D) grouped regions, channels-last.
+    """
+    idx, _ = ball_query(centroids, coords, radius, K, mask=mask)
+    grouped_coords = jnp.take_along_axis(
+        coords[:, None, :, :], idx[..., None], axis=2
+    )  # (B, C, K, 3)
+    grouped_features = jnp.take_along_axis(
+        features[:, None, :, :], idx[..., None], axis=2
+    )  # (B, C, K, D)
+    grouped_coords = grouped_coords - centroids[:, :, None, :]
+    if normalize:
+        grouped_coords = grouped_coords / jnp.float32(radius)
+    return jnp.concatenate([grouped_coords, grouped_features], axis=-1)

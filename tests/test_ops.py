@@ -1,0 +1,271 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointseg import ops
+
+
+# ---------------------------------------------------------------- FPS
+
+def _np_fps(coords, C, start):
+    """Brute-force numpy FPS (reference semantics, common.py:6-34)."""
+    B, N, _ = coords.shape
+    out = np.zeros((B, C), np.int32)
+    for b in range(B):
+        dist = np.full(N, np.inf)
+        far = start[b]
+        for i in range(C):
+            out[b, i] = far
+            d = ((coords[b] - coords[b, far]) ** 2).sum(-1)
+            dist = np.minimum(dist, d)
+            far = int(dist.argmax())
+    return out
+
+
+def test_fps_matches_bruteforce(rng):
+    coords = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    start = np.array([3, 41], np.int32)
+    idx = ops.farthest_point_sampling(
+        jnp.array(coords), 16, start_indices=jnp.array(start)
+    )
+    np.testing.assert_array_equal(np.asarray(idx), _np_fps(coords, 16, start))
+
+
+def test_fps_first_index_is_start(rng):
+    coords = jnp.array(rng.normal(size=(1, 32, 3)).astype(np.float32))
+    idx = ops.farthest_point_sampling(coords, 8, start_indices=jnp.array([5]))
+    assert int(idx[0, 0]) == 5
+
+
+def test_fps_selects_distinct_points(rng):
+    coords = jnp.array(rng.normal(size=(1, 128, 3)).astype(np.float32))
+    idx = np.asarray(ops.farthest_point_sampling(coords, 32))
+    assert len(np.unique(idx[0])) == 32
+
+
+def test_fps_respects_mask(rng):
+    coords = rng.normal(size=(1, 32, 3)).astype(np.float32)
+    mask = np.zeros((1, 32), bool)
+    mask[0, :10] = True
+    idx = np.asarray(
+        ops.farthest_point_sampling(jnp.array(coords), 8, mask=jnp.array(mask))
+    )
+    assert (idx < 10).all()
+
+
+def test_fps_random_start_reproducible(rng):
+    coords = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    k = jax.random.key(7)
+    a = ops.farthest_point_sampling(coords, 8, key=k)
+    b = ops.farthest_point_sampling(coords, 8, key=k)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_returns_coords(rng):
+    coords = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    out = ops.sample(coords, 16)
+    assert out.shape == (2, 16, 3)
+
+
+# ---------------------------------------------------------- ball query
+
+def _np_group(centroids, coords, features, r, K, normalize):
+    """Numpy transcription of reference `group` (common.py:37-71)."""
+    B, C, _ = centroids.shape
+    N = coords.shape[1]
+    D = features.shape[-1]
+    out = np.zeros((B, C, K, 3 + D), np.float32)
+    for b in range(B):
+        d2 = ((coords[b][None, :, :] - centroids[b][:, None, :]) ** 2).sum(-1)
+        d2 = np.where(d2 <= r * r, d2, np.inf)
+        for c in range(C):
+            order = np.argsort(d2[c], kind="stable")[:K]
+            gc = coords[b, order] - centroids[b, c]
+            if normalize:
+                gc = gc / r
+            out[b, c, :, :3] = gc
+            out[b, c, :, 3:] = features[b, order]
+    return out
+
+
+def _sort_regions(x):
+    """Sorts each (K, F) region lexicographically — the K axis is
+    pooled over downstream, so grouping is order-invariant within K
+    (the matmul-form distances can swap near-ties at the 1e-5 level)."""
+    flat = x.reshape(-1, x.shape[-2], x.shape[-1])
+    out = np.empty_like(flat)
+    for i, region in enumerate(flat):
+        order = np.lexsort(region.T[::-1])
+        out[i] = region[order]
+    return out.reshape(x.shape)
+
+
+def test_group_matches_bruteforce(rng):
+    B, N, C, K, D, r = 2, 48, 8, 6, 4, 0.8
+    coords = rng.normal(size=(B, N, 3)).astype(np.float32) * 0.5
+    feats = rng.normal(size=(B, N, D)).astype(np.float32)
+    cents = coords[:, :C].copy()
+    got = np.asarray(
+        ops.group(jnp.array(cents), jnp.array(coords), jnp.array(feats), r, K)
+    )
+    want = _np_group(cents, coords, feats, r, K, False)
+    np.testing.assert_allclose(_sort_regions(got), _sort_regions(want), atol=2e-5)
+
+
+def test_group_normalize(rng):
+    B, N, C, K, r = 1, 32, 4, 4, 0.5
+    coords = rng.normal(size=(B, N, 3)).astype(np.float32) * 0.2
+    feats = rng.normal(size=(B, N, 2)).astype(np.float32)
+    cents = coords[:, :C].copy()
+    got = np.asarray(
+        ops.group(jnp.array(cents), jnp.array(coords), jnp.array(feats), r, K, True)
+    )
+    want = _np_group(cents, coords, feats, r, K, True)
+    np.testing.assert_allclose(_sort_regions(got), _sort_regions(want), atol=5e-5)
+
+
+def test_ball_query_membership(rng):
+    """Every selected point flagged in_ball really is within the radius,
+    and all in-radius points are preferred over out-of-radius fillers."""
+    coords = rng.normal(size=(1, 64, 3)).astype(np.float32)
+    cents = coords[:, :4]
+    r, K = 0.7, 8
+    idx, in_ball = ops.ball_query(jnp.array(cents), jnp.array(coords), r, K)
+    idx, in_ball = np.asarray(idx), np.asarray(in_ball)
+    d2 = ((coords[0][None] - cents[0][:, None]) ** 2).sum(-1)
+    for c in range(4):
+        inside = d2[c] <= r * r
+        sel = idx[0, c]
+        np.testing.assert_array_equal(in_ball[0, c], inside[sel])
+        n_inside = int(inside.sum())
+        assert in_ball[0, c].sum() == min(n_inside, K)
+
+
+def test_ball_query_mask_excludes_points(rng):
+    coords = rng.normal(size=(1, 32, 3)).astype(np.float32) * 0.01  # all clustered
+    cents = coords[:, :2]
+    mask = np.zeros((1, 32), bool)
+    mask[0, :5] = True
+    idx, in_ball = ops.ball_query(
+        jnp.array(cents), jnp.array(coords), 1.0, 4, mask=jnp.array(mask)
+    )
+    assert (np.asarray(idx)[np.asarray(in_ball)] < 5).all()
+
+
+# --------------------------------------------------------- interpolate
+
+def _np_interpolate(feats, tgt, src, k=3):
+    """Numpy transcription of reference `interpolate` (common.py:94-122)."""
+    B, N, _ = tgt.shape
+    D = feats.shape[-1]
+    out = np.zeros((B, N, D), np.float32)
+    for b in range(B):
+        d2 = ((src[b][None, :, :] - tgt[b][:, None, :]) ** 2).sum(-1)
+        for n in range(N):
+            order = np.argsort(d2[n], kind="stable")[:k]
+            w = 1.0 / (d2[n, order] + 1e-9)
+            w = w / w.sum()
+            out[b, n] = (feats[b, order] * w[:, None]).sum(0)
+    return out
+
+
+def test_interpolate_matches_bruteforce(rng):
+    B, N, Msrc, D = 2, 24, 10, 5
+    tgt = rng.normal(size=(B, N, 3)).astype(np.float32)
+    src = rng.normal(size=(B, Msrc, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, Msrc, D)).astype(np.float32)
+    got = np.asarray(ops.interpolate(jnp.array(feats), jnp.array(tgt), jnp.array(src)))
+    want = _np_interpolate(feats, tgt, src)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_interpolate_exact_at_source_points(rng):
+    src = rng.normal(size=(1, 8, 3)).astype(np.float32)
+    feats = rng.normal(size=(1, 8, 4)).astype(np.float32)
+    got = np.asarray(ops.interpolate(jnp.array(feats), jnp.array(src), jnp.array(src)))
+    np.testing.assert_allclose(got, feats, atol=1e-3)
+
+
+# ----------------------------------------------------------------- kNN
+
+def test_knn_includes_self_like_reference(rng):
+    x = jnp.array(rng.normal(size=(1, 16, 3)).astype(np.float32))
+    idx = np.asarray(ops.knn_indices(x, 4))
+    assert (idx[0, :, 0] == np.arange(16)).all()  # self is nearest
+
+
+def test_knn_matches_bruteforce(rng):
+    x = rng.normal(size=(2, 32, 6)).astype(np.float32)
+    k = 5
+    idx = np.asarray(ops.knn_indices(jnp.array(x), k))
+    for b in range(2):
+        d2 = ((x[b][:, None, :] - x[b][None, :, :]) ** 2).sum(-1)
+        for n in range(32):
+            want = set(np.argsort(d2[n], kind="stable")[:k].tolist())
+            assert set(idx[b, n].tolist()) == want
+
+
+def test_knn_exclude_self(rng):
+    x = jnp.array(rng.normal(size=(1, 16, 3)).astype(np.float32))
+    idx = np.asarray(ops.knn_indices(x, 4, include_self=False))
+    for n in range(16):
+        assert n not in idx[0, n]
+
+
+def test_graph_feature_shape_and_semantics(rng):
+    x = rng.normal(size=(2, 16, 6)).astype(np.float32)
+    gf = np.asarray(ops.graph_feature(jnp.array(x), k=4))
+    assert gf.shape == (2, 16, 4, 12)
+    # first neighbor is self -> edge = 0, center = x
+    np.testing.assert_allclose(gf[:, :, 0, :6], 0, atol=1e-5)
+    np.testing.assert_allclose(gf[:, :, 0, 6:], x, atol=1e-6)
+
+
+def test_graph_feature_knn_on_subset(rng):
+    """dim9 mode: graph built on coords slice but features gathered from all."""
+    x = rng.normal(size=(1, 12, 9)).astype(np.float32)
+    gf = np.asarray(ops.graph_feature(jnp.array(x), k=3, knn_on=jnp.array(x[..., 6:])))
+    assert gf.shape == (1, 12, 3, 18)
+
+
+# ------------------------------------------------------------- pooling
+
+def test_reduce_max_avg(rng):
+    x = rng.normal(size=(2, 3, 4, 5)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ops.reduce(jnp.array(x), "max")), x.max(2), atol=1e-6
+    )
+    # 'avg' is a real mean here (reference bug common.py:88-89 fixed)
+    np.testing.assert_allclose(
+        np.asarray(ops.reduce(jnp.array(x), "avg")), x.mean(2), atol=1e-6
+    )
+    with pytest.raises(ValueError):
+        ops.reduce(jnp.array(x), "sum")
+
+
+def test_masked_reduce(rng):
+    x = rng.normal(size=(1, 2, 4, 3)).astype(np.float32)
+    mask = np.array([[[True, True, False, False], [True, False, False, False]]])
+    got_max = np.asarray(ops.masked_reduce(jnp.array(x), jnp.array(mask), "max"))
+    np.testing.assert_allclose(got_max[0, 0], x[0, 0, :2].max(0), atol=1e-6)
+    np.testing.assert_allclose(got_max[0, 1], x[0, 1, 0], atol=1e-6)
+    got_avg = np.asarray(ops.masked_reduce(jnp.array(x), jnp.array(mask), "avg"))
+    np.testing.assert_allclose(got_avg[0, 0], x[0, 0, :2].mean(0), atol=1e-6)
+
+
+def test_ops_jit_compile(rng):
+    """All primitives compile under jit with static hyperparams."""
+    coords = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    feats = jnp.array(rng.normal(size=(2, 64, 4)).astype(np.float32))
+
+    f = jax.jit(lambda c: ops.farthest_point_sampling(c, 16))
+    g = jax.jit(lambda ce, c, ft: ops.group(ce, c, ft, 0.5, 8))
+    h = jax.jit(lambda ft, t, s: ops.interpolate(ft, t, s))
+    k = jax.jit(lambda x: ops.knn_indices(x, 4))
+    idx = f(coords)
+    cents = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    out = g(cents, coords, feats)
+    assert out.shape == (2, 16, 8, 7)
+    assert h(feats[:, :16], coords, coords[:, :16]).shape == (2, 64, 4)
+    assert k(feats).shape == (2, 64, 4)
