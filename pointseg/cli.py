@@ -1,0 +1,376 @@
+"""Command-line interface.
+
+Subcommands mirror the reference's entry points (SURVEY.md §2 L6):
+
+- `train`      — the main trainer (reference train.py:41-91): model
+                 choice, block loaders, Adam + masked CE, periodic
+                 metrics, final (and periodic) checkpoints.
+- `prepare`    — offline ETL: raw -> areas -> chunks -> index -> blocks
+                 (reference prepare_s3dis.py / split_s3dis_data.py /
+                 precompute_chunk_index.py / preprocess_dataset.py).
+- `evaluate`   — checkpoint evaluation over block or whole-room data
+                 with sliding-window inference (reference
+                 models/dgcnn/evaluate.py, utils.py:134-258).
+- `benchmark`  — latency/FPS/points-per-sec micro-benchmark (reference
+                 models/dgcnn/utils.py:358-412).
+- `train-legacy` — the legacy/chunked stack trainer (reference
+                 Training/train_model.py:230-287).
+
+Defaults match the reference configuration (train.py:17-37): Adam
+lr=1e-3, 10 epochs, batch 8/2, 4096 points, test area 6, 14 classes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+from pointseg.data.s3dis import NUM_S3DIS_CLASSES, S3DIS_CLASSES, S3DIS_CLASSES_13
+
+MODEL_CHOICES = ["PointNet", "PointNet++", "PointNet++MSG", "PointNeXt", "DeepGraphCnn"]
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", choices=MODEL_CHOICES, help="Name of the model to train.")
+    p.add_argument("--data-dir", default="S3DIS_blocks")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Generate a synthetic block dataset (no S3DIS needed).")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--train-batch-size", type=int, default=8)
+    p.add_argument("--test-batch-size", type=int, default=2)
+    p.add_argument("--train-sampling", type=int, default=4096)
+    p.add_argument("--test-sampling", type=int, default=None)
+    p.add_argument("--test-pad-to", type=int, default=None,
+                   help="Static pad size for unsampled test blocks.")
+    p.add_argument("--test-areas", type=int, nargs="+", default=[6])
+    p.add_argument("--log-interval", type=int, default=20)
+    p.add_argument("--log-dir", default="saved_runs")
+    p.add_argument("--model-dir", default="saved_models")
+    p.add_argument("--resume", default=None, help="Checkpoint dir or file to resume from.")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", help="Compute in bfloat16.")
+    p.add_argument("--profile", default=None,
+                   help="Capture a jax.profiler trace of the first train steps to this dir.")
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg.data.datasets import create_block_dataloaders
+    from pointseg.data import synthetic
+    from pointseg.io.checkpoint import restore_train_state
+    from pointseg.models import create_model
+    from pointseg.train.logging import MetricsLogger, save_records
+    from pointseg.train.loop import train_model
+    from pointseg.train.state import create_train_state
+
+    if args.synthetic and not os.path.exists(args.data_dir):
+        print(f"Generating synthetic block dataset at {args.data_dir} ...")
+        synthetic.make_block_dataset(
+            args.data_dir, rooms_per_area=2, points_per_room=20000, seed=args.seed
+        )
+
+    run_name = os.path.join(args.model, datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+    log_path = os.path.join(args.log_dir, run_name)
+    ckpt_dir = os.path.join(args.model_dir, run_name)
+    logger = MetricsLogger(log_path)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = create_model(args.model, num_classes=NUM_S3DIS_CLASSES, dtype=dtype)
+    print(f"Starting training of model {args.model}.")
+
+    train_loader, test_loader = create_block_dataloaders(
+        data_dir=args.data_dir,
+        test_areas=set(args.test_areas),
+        train_batch_size=args.train_batch_size,
+        test_batch_size=args.test_batch_size,
+        train_sampling=args.train_sampling,
+        test_sampling=args.test_sampling,
+        test_pad_to=args.test_pad_to,
+        test_buckets=None if args.test_pad_to else (1024, 2048, 4096, 8192, 16384, 32768, 65536),
+        seed=args.seed,
+    )
+    all_areas = {1, 2, 3, 4, 5, 6}
+    print(
+        f"Initialized train dataloader with areas {all_areas - set(args.test_areas)}, "
+        f"and test dataloader with areas {set(args.test_areas)}."
+    )
+    print(f"Using devices {jax.devices()}.")
+    print("-" * 15)
+
+    example = jnp.zeros((args.train_batch_size, args.train_sampling, 9), jnp.float32)
+    state = create_train_state(model, example, args.learning_rate, seed=args.seed)
+    if args.resume:
+        state = restore_train_state(args.resume, state)
+        print(f"Resumed from step {int(state.step)}.")
+
+    config = {k: v for k, v in vars(args).items() if not callable(v) and k != "func"}
+
+    if args.profile:
+        import jax.profiler
+
+        jax.profiler.start_trace(args.profile)
+
+    state, records = train_model(
+        state,
+        train_loader,
+        test_loader,
+        num_epochs=args.epochs,
+        log_interval=args.log_interval,
+        logger=logger,
+        seed=args.seed,
+        num_classes=NUM_S3DIS_CLASSES,
+        ckpt_dir=ckpt_dir,
+        config=config,
+    )
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.profile}")
+
+    save_records(log_path, "records", records)
+    logger.close()
+    print(f"Model checkpoints saved to: {ckpt_dir}.")
+    print(f"View logs under: {log_path} (metrics.csv / metrics.jsonl / TensorBoard)")
+    return 0
+
+
+def cmd_prepare(args) -> int:
+    from pointseg.data.blocks import preprocess_dataset
+    from pointseg.data.prepare import precompute_chunk_index, prepare_s3dis, split_chunks
+
+    stage = args.stage
+    if stage in ("all", "raw"):
+        prepare_s3dis(args.input_path, args.areas_path)
+    if stage in ("all", "chunks"):
+        split_chunks(args.areas_path, args.chunked_path, n_chunks=args.n_chunks)
+    if stage in ("all", "index"):
+        precompute_chunk_index(args.chunked_path, force_recompute=args.force)
+    if stage in ("all", "blocks"):
+        preprocess_dataset(args.chunked_path, args.blocks_path)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg.data.datasets import create_block_dataloaders
+    from pointseg.io.checkpoint import load_config, restore_train_state
+    from pointseg.models import create_model
+    from pointseg.train.loop import evaluate
+    from pointseg.train.state import create_train_state
+
+    ckpt_dir = (
+        args.model_path if os.path.isdir(args.model_path)
+        else os.path.dirname(args.model_path)
+    )
+    config = load_config(ckpt_dir) or {}
+    model_name = args.model or config.get("model", "PointNet++")
+    model = create_model(model_name, num_classes=NUM_S3DIS_CLASSES)
+
+    sampling = args.sampling
+    example = jnp.zeros((args.batch_size, sampling or 4096, 9), jnp.float32)
+    state = create_train_state(model, example)
+    state = restore_train_state(args.model_path, state)
+    print(f"Loaded {model_name} from {args.model_path} (step {int(state.step)}).")
+
+    _, test_loader = create_block_dataloaders(
+        data_dir=args.data_path,
+        test_areas=set(args.test_areas),
+        test_batch_size=args.batch_size,
+        train_sampling=sampling or 4096,
+        test_sampling=sampling,
+        test_buckets=(1024, 2048, 4096, 8192, 16384, 32768, 65536),
+    )
+    results = evaluate(state, test_loader, num_classes=NUM_S3DIS_CLASSES)
+
+    print("\n=== Evaluation results ===")
+    print(f"Overall accuracy: {100.0 * results['accuracy']:.2f}%")
+    print(f"Mean IoU:         {100.0 * results['mean_iou']:.2f}%")
+    print("Per-class IoU:")
+    for name, iou in zip(S3DIS_CLASSES, results["ious"]):
+        print(f"  {name:<10s} {100.0 * float(iou):6.2f}%")
+
+    if args.save_results:
+        out = {
+            "accuracy": results["accuracy"],
+            "mean_iou": results["mean_iou"],
+            "ious": {n: float(v) for n, v in zip(S3DIS_CLASSES, results["ious"])},
+            "confusion": results["confusion"].tolist(),
+        }
+        with open(args.save_results, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"Results saved to {args.save_results}")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg.models import create_model
+    from pointseg.train.state import create_train_state, train_step
+    from pointseg.utils.benchmark import benchmark_points_per_sec
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = create_model(args.model, num_classes=NUM_S3DIS_CLASSES, dtype=dtype)
+    B, N = args.batch_size, args.num_points
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+    labels = jnp.asarray(
+        np.eye(NUM_S3DIS_CLASSES, dtype=np.uint8)[
+            rng.integers(0, NUM_S3DIS_CLASSES, size=(B, N))
+        ]
+    )
+    lengths = jnp.full((B,), N, jnp.int32)
+    state = create_train_state(model, points, 1e-3)
+
+    if args.mode == "train":
+        def step(s):
+            s, m = train_step(s, points, labels, lengths, jax.random.key(0))
+            return s
+
+        # donation-safe timing loop: thread the state
+        import time as _t
+
+        s = state
+        for _ in range(args.warmup):
+            s = step(s)
+        jax.block_until_ready(s.params)
+        times = []
+        for _ in range(args.runs):
+            t0 = _t.perf_counter()
+            s = step(s)
+            jax.block_until_ready(s.params)
+            times.append(_t.perf_counter() - t0)
+        mean = float(np.mean(times))
+        stats = {
+            "mean_s": mean,
+            "std_s": float(np.std(times)),
+            "min_s": float(np.min(times)),
+            "max_s": float(np.max(times)),
+            "fps": 1.0 / mean,
+            "points_per_sec": B * N / mean,
+        }
+    else:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        stats = benchmark_points_per_sec(
+            fwd, variables, points,
+            points_per_call=B * N, num_runs=args.runs, warmup=args.warmup,
+        )
+
+    print(json.dumps({"model": args.model, "mode": args.mode, "B": B, "N": N, **stats}))
+    return 0
+
+
+def cmd_train_legacy(args) -> int:
+    import jax.numpy as jnp
+
+    from pointseg.data.datasets import create_chunked_dataloaders
+    from pointseg.models import create_model
+    from pointseg.train.legacy import train_model as legacy_train
+    from pointseg.train.state import create_train_state
+
+    mapping = S3DIS_CLASSES_13 if args.num_classes == 13 else S3DIS_CLASSES
+    train_loader, test_loader = create_chunked_dataloaders(
+        args.data_dir,
+        batch_size=args.batch_size,
+        require_index_file=not args.no_index,
+    )
+    if args.test_on_train:
+        test_loader = train_loader  # the reference's small-excerpt mode
+    model = create_model(args.model, num_classes=len(mapping))
+    example = jnp.zeros((args.batch_size, min(args.cut or 1024, 4096), 6), jnp.float32)
+    state = create_train_state(model, example, args.learning_rate, seed=args.seed)
+    state, records = legacy_train(
+        state,
+        train_loader,
+        test_loader,
+        mapping,
+        epochs=args.epochs,
+        print_records=True,
+        records_dir=args.records_dir,
+        records_filename=args.records_filename,
+        cut=args.cut,
+        sampling=args.sampling,
+        seed=args.seed,
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="pointseg", description="TPU-native 3D semantic segmentation framework."
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="Train a model on block data.")
+    _add_train_args(p)
+    p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("prepare", help="Offline ETL: raw S3DIS -> blocks.")
+    p.add_argument("--stage", choices=["all", "raw", "chunks", "index", "blocks"],
+                   default="all")
+    p.add_argument("--input-path", default="data/s3dis")
+    p.add_argument("--areas-path", default="data")
+    p.add_argument("--chunked-path", default="data_chunked")
+    p.add_argument("--blocks-path", default="S3DIS_blocks")
+    p.add_argument("--n-chunks", type=int, default=10)
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(func=cmd_prepare)
+
+    p = sub.add_parser("evaluate", help="Evaluate a checkpoint.")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--data-path", required=True)
+    p.add_argument("--model", default=None, choices=MODEL_CHOICES + [None])
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--sampling", type=int, default=None)
+    p.add_argument("--test-areas", type=int, nargs="+", default=[6])
+    p.add_argument("--save-results", default=None)
+    p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("benchmark", help="Micro-benchmark a model.")
+    p.add_argument("--model", default="PointNet++", choices=MODEL_CHOICES)
+    p.add_argument("--mode", choices=["train", "inference"], default="train")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-points", type=int, default=4096)
+    p.add_argument("--runs", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--bf16", action="store_true")
+    p.set_defaults(func=cmd_benchmark)
+
+    p = sub.add_parser("train-legacy", help="Legacy/chunked-stack trainer.")
+    p.add_argument("model", choices=MODEL_CHOICES)
+    p.add_argument("--data-dir", default="test_data")
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--cut", type=int, default=1000)
+    p.add_argument("--sampling", type=float, default=None)
+    p.add_argument("--num-classes", type=int, default=13, choices=[13, 14])
+    p.add_argument("--no-index", action="store_true")
+    p.add_argument("--test-on-train", action="store_true")
+    p.add_argument("--records-dir", default="saved_training/history")
+    p.add_argument("--records-filename", default="records")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=cmd_train_legacy)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,9 +33,14 @@ def masked_reduce(
         kind: 'max' or 'avg'.
     """
     mask = jnp.expand_dims(mask, -1) if mask.ndim == x.ndim - 1 else mask
+    any_valid = jnp.any(mask, axis=axis)
     if kind == "max":
         neg = jnp.finfo(x.dtype).min
-        return jnp.max(jnp.where(mask, x, neg), axis=axis)
+        pooled = jnp.max(jnp.where(mask, x, neg), axis=axis)
+        # A fully-masked region (e.g. a zero-length padded sample) pools
+        # to 0, not finfo.min — otherwise the sentinel poisons BatchNorm
+        # batch statistics downstream (NaNs through the whole batch).
+        return jnp.where(any_valid, pooled, 0.0).astype(x.dtype)
     if kind == "avg":
         total = jnp.sum(jnp.where(mask, x, 0), axis=axis)
         count = jnp.maximum(jnp.sum(mask, axis=axis), 1)

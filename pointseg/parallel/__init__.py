@@ -1,0 +1,7 @@
+from pointseg.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_state,
+)

@@ -1,0 +1,172 @@
+"""The modern training harness.
+
+Rebuild of Training/training.py:29-180: per-epoch train loop with
+periodic train-batch metrics logging, full-test-set streaming
+evaluation (OA, per-class IoU/mIoU, confusion matrix), per-epoch
+scalars + per-class IoU tensor logging, and stdout epoch summaries.
+
+TPU-shaped differences:
+- the whole step (fwd+bwd+Adam+metrics) is one jitted program
+  (`pointseg.train.state.train_step`); metric accumulation stays on
+  device and is fetched once per log interval / epoch end;
+- batches stream through a prefetching host loader and are
+  device-put asynchronously;
+- checkpointing is periodic with resume (the reference saves only at
+  the very end, train.py:88 — SURVEY.md §5 calls for improving this).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointseg.io.checkpoint import save_checkpoint
+from pointseg.train import metrics as M
+from pointseg.train.logging import MetricsLogger
+from pointseg.train.state import TrainState, eval_step, train_step
+
+
+def train_epoch(
+    state: TrainState,
+    train_loader: Iterable,
+    rng: jax.Array,
+    logger: MetricsLogger | None,
+    log_interval: int,
+    global_step: int,
+    verbose: bool = True,
+) -> tuple[TrainState, float, int]:
+    """One pass over the training set (reference training.py:29-78)."""
+    total_loss = 0.0
+    num_batches = 0
+    for batch_index, (points, labels, lengths) in enumerate(train_loader):
+        state, metrics = train_step(
+            state,
+            jnp.asarray(points),
+            jnp.asarray(labels),
+            jnp.asarray(lengths),
+            rng,
+        )
+        if logger is not None and batch_index % log_interval == 0:
+            # single host sync per log interval
+            logger.add_scalar("Train/Loss", float(metrics["loss"]), global_step)
+            logger.add_scalar(
+                "Train/Accuracy", 100.0 * float(metrics["accuracy"]), global_step
+            )
+            logger.add_scalar(
+                "Train/Mean_IoU", 100.0 * float(metrics["miou"]), global_step
+            )
+        total_loss += float(metrics["loss"])
+        num_batches += 1
+        global_step += 1
+    return state, total_loss / max(num_batches, 1), global_step
+
+
+def evaluate(
+    state: TrainState,
+    test_loader: Iterable,
+    num_classes: int = 14,
+) -> dict:
+    """Streaming evaluation over the test set (training.py:80-133)."""
+    total_loss = 0.0
+    num_batches = 0
+    correct = jnp.zeros((), jnp.int32)
+    total = jnp.zeros((), jnp.int32)
+    inter = jnp.zeros((num_classes,), jnp.float32)
+    union = jnp.zeros((num_classes,), jnp.float32)
+    confusion = jnp.zeros((num_classes, num_classes), jnp.int32)
+
+    for points, labels, lengths in test_loader:
+        out = eval_step(
+            state, jnp.asarray(points), jnp.asarray(labels), jnp.asarray(lengths)
+        )
+        total_loss += float(out["loss"])
+        num_batches += 1
+        correct = correct + out["correct"]
+        total = total + out["total"]
+        inter = inter + out["intersections"]
+        union = union + out["unions"]
+        confusion = confusion + out["confusion"]
+
+    mean_iou, ious = M.iou_from_totals(inter, union)
+    return {
+        "loss": total_loss / max(num_batches, 1),
+        "accuracy": float(correct) / max(float(total), 1.0),
+        "mean_iou": float(mean_iou),
+        "ious": np.asarray(ious),
+        "confusion": np.asarray(confusion),
+    }
+
+
+def train_model(
+    state: TrainState,
+    train_loader: Iterable,
+    test_loader: Iterable,
+    num_epochs: int,
+    log_interval: int = 20,
+    logger: MetricsLogger | None = None,
+    seed: int = 0,
+    num_classes: int = 14,
+    ckpt_dir: str | None = None,
+    ckpt_every_epochs: int = 1,
+    config: dict | None = None,
+    verbose: bool = True,
+) -> tuple[TrainState, dict]:
+    """Full training run (reference training.py:135-180).
+
+    Returns the final state and a records dict
+    {train_loss, val_loss, val_acc, val_miou, epoch_times, total_time}.
+    """
+    rng = jax.random.key(seed)
+    global_step = int(state.step)
+    records = {
+        "train_loss": [],
+        "val_loss": [],
+        "val_acc": [],
+        "val_miou": [],
+        "epoch_times": [],
+    }
+    t_start = time.time()
+
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        epoch_rng = jax.random.fold_in(rng, epoch)
+        state, train_loss, global_step = train_epoch(
+            state, train_loader, epoch_rng, logger, log_interval, global_step,
+            verbose=verbose,
+        )
+        ev = evaluate(state, test_loader, num_classes=num_classes)
+        dt = time.time() - t0
+
+        if verbose:
+            print(f"Epoch {epoch + 1} completed ({dt:.1f}s):")
+            print(f"- Training loss: {train_loss}")
+            print(f"- Validation loss: {ev['loss']}")
+            print(f"- Validation accuracy: {ev['accuracy']}")
+            print(f"- Validation mean IoU: {ev['mean_iou']}")
+            print("-" * 15, flush=True)
+
+        if logger is not None:
+            logger.add_scalar("Train/Epoch_Loss", train_loss, epoch)
+            logger.add_scalar("Val/Loss", ev["loss"], epoch)
+            logger.add_scalar("Val/Accuracy", 100.0 * ev["accuracy"], epoch)
+            logger.add_scalar("Val/Mean_Iou", 100.0 * ev["mean_iou"], epoch)
+            logger.add_tensor("Val/Ious", 100.0 * ev["ious"], epoch)
+            logger.flush()
+
+        records["train_loss"].append(train_loss)
+        records["val_loss"].append(ev["loss"])
+        records["val_acc"].append(ev["accuracy"])
+        records["val_miou"].append(ev["mean_iou"])
+        records["epoch_times"].append(dt)
+
+        if ckpt_dir is not None and (epoch + 1) % ckpt_every_epochs == 0:
+            save_checkpoint(ckpt_dir, state, config=config)
+
+    records["total_time"] = time.time() - t_start
+    if config is not None:
+        records["config"] = config
+    return state, records

@@ -1,0 +1,132 @@
+"""Train state and jitted train/eval steps.
+
+Rebuilds the reference's per-step logic (Training/training.py:29-133)
+as two jitted pure functions over an explicit state pytree:
+
+- `train_step`: forward (train mode, BatchNorm batch stats + dropout +
+  FPS rng) -> masked CE -> grads -> Adam update -> new state, plus the
+  on-device metrics the reference computes every `log_interval` steps
+  (training.py:62-69). Metrics are always computed — they're one fused
+  kernel, cheaper than a host round-trip decision.
+- `eval_step`: forward (eval mode, running BN stats) -> loss + streaming
+  metric contributions (correct/total, confusion, per-class I/U,
+  training.py:106-124) accumulated on device.
+
+Both donate the state argument so parameters update in place on HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointseg.train.loss import masked_onehot_cross_entropy
+from pointseg.train import metrics as M
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def create_train_state(
+    model,
+    example_points: jax.Array,
+    learning_rate: float = 1e-3,
+    tx: optax.GradientTransformation | None = None,
+    seed: int = 0,
+) -> TrainState:
+    """Initializes params/BN stats and the Adam optimizer
+    (reference uses Adam(lr=1e-3), train.py:17,79)."""
+    variables = model.init(
+        {"params": jax.random.key(seed)}, example_points, train=False
+    )
+    tx = tx if tx is not None else optax.adam(learning_rate)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    points: jax.Array,
+    labels: jax.Array,
+    lengths: jax.Array,
+    rng: jax.Array,
+) -> tuple[TrainState, dict]:
+    """One optimization step + train-batch metrics."""
+    dropout_rng, fps_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+    mask = M.length_mask(lengths, points.shape[1])
+
+    def loss_fn(params):
+        logits, updates = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            points,
+            train=True,
+            mask=mask,
+            rngs={"dropout": dropout_rng, "fps": fps_rng},
+            mutable=["batch_stats"],
+        )
+        loss = masked_onehot_cross_entropy(logits, labels, lengths)
+        return loss, (logits, updates["batch_stats"])
+
+    (loss, (logits, new_batch_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    accuracy = M.overall_accuracy(logits, labels, lengths)
+    miou, _ = M.intersection_over_union(logits, labels, lengths)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt_state=new_opt_state,
+    )
+    return new_state, {"loss": loss, "accuracy": accuracy, "miou": miou}
+
+
+@jax.jit
+def eval_step(
+    state: TrainState,
+    points: jax.Array,
+    labels: jax.Array,
+    lengths: jax.Array,
+) -> dict:
+    """Loss + streaming metric contributions for one eval batch."""
+    mask = M.length_mask(lengths, points.shape[1])
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        points,
+        train=False,
+        mask=mask,
+    )
+    loss = masked_onehot_cross_entropy(logits, labels, lengths)
+    correct, total = M.update_accuracy(logits, labels, lengths)
+    inter, union = M.update_intersection_over_union(logits, labels, lengths)
+    confusion = M.confusion_matrix(logits, labels, lengths)
+    return {
+        "loss": loss,
+        "correct": correct,
+        "total": total,
+        "intersections": inter,
+        "unions": union,
+        "confusion": confusion,
+    }

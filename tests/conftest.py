@@ -8,8 +8,10 @@ interpret mode on CPU).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Hard-set (not setdefault):
+# the surrounding environment pins JAX_PLATFORMS=axon (the TPU tunnel),
+# and tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

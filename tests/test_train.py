@@ -1,0 +1,166 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointseg.data import synthetic
+from pointseg.data.datasets import create_block_dataloaders
+from pointseg.io.checkpoint import (
+    latest_checkpoint,
+    load_config,
+    restore_train_state,
+    save_checkpoint,
+)
+from pointseg.models import PointNetSeg
+from pointseg.train.logging import MetricsLogger, save_records
+from pointseg.train.loop import evaluate, train_model
+from pointseg.train.state import create_train_state, eval_step, train_step
+
+C = 14
+
+
+@pytest.fixture(scope="module")
+def block_dir(tmp_path_factory):
+    return synthetic.make_block_dataset(
+        str(tmp_path_factory.mktemp("blocks")),
+        rooms_per_area=1,
+        points_per_room=4000,
+        seed=3,
+    )
+
+
+@pytest.fixture(scope="module")
+def _small_state_template():
+    model = PointNetSeg(num_classes=C)
+    example = jnp.zeros((2, 128, 9))
+    return create_train_state(model, example, learning_rate=1e-3)
+
+
+@pytest.fixture
+def small_state(_small_state_template):
+    # train_step donates its state argument; hand each test a fresh copy
+    s = _small_state_template
+    return s.replace(
+        params=jax.tree.map(jnp.copy, s.params),
+        batch_stats=jax.tree.map(jnp.copy, s.batch_stats),
+        opt_state=jax.tree.map(jnp.copy, s.opt_state),
+        step=jnp.copy(s.step),
+    )
+
+
+def test_train_step_updates_params_and_reduces_loss(small_state):
+    rng = np.random.default_rng(0)
+    points = jnp.array(rng.normal(size=(2, 128, 9)).astype(np.float32))
+    labels = jax.nn.one_hot(jnp.zeros((2, 128), jnp.int32), C)
+    lengths = jnp.array([128, 64])
+
+    state = small_state
+    first_loss = None
+    for i in range(15):
+        state, m = train_step(state, points, labels, lengths, jax.random.key(1))
+        if first_loss is None:
+            first_loss = float(m["loss"])
+    assert float(m["loss"]) < first_loss  # constant labels: must fit fast
+    assert int(state.step) == 15
+    assert 0.0 <= float(m["accuracy"]) <= 1.0
+
+
+def test_train_step_finite_with_zero_length_row(small_state):
+    """Regression: a padded zero-length sample (partial final batch) must
+    not poison BatchNorm stats via the masked global max-pool."""
+    rng = np.random.default_rng(5)
+    points = jnp.array(rng.normal(size=(2, 128, 9)).astype(np.float32))
+    labels = jnp.zeros((2, 128, C))
+    labels = labels.at[0, :, 0].set(1.0)
+    lengths = jnp.array([128, 0])  # second row is pure padding
+    state, m = train_step(small_state, points, labels, lengths, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree.leaves(state.params):
+        assert bool(jnp.isfinite(leaf).all())
+
+
+def test_eval_step_streaming_totals(small_state):
+    rng = np.random.default_rng(1)
+    points = jnp.array(rng.normal(size=(2, 128, 9)).astype(np.float32))
+    labels = jax.nn.one_hot(jnp.zeros((2, 128), jnp.int32), C)
+    lengths = jnp.array([100, 28])
+    out = eval_step(small_state, points, labels, lengths)
+    assert int(out["total"]) == 128
+    assert out["confusion"].shape == (C, C)
+    assert int(out["confusion"].sum()) == 128
+
+
+def test_end_to_end_training_learns(block_dir, tmp_path):
+    """Smoke: PointNet on synthetic blocks for 2 epochs must beat chance
+    (labels correlate with height by construction)."""
+    train_loader, test_loader = create_block_dataloaders(
+        block_dir, test_areas={6}, train_batch_size=4, test_batch_size=4,
+        train_sampling=512, test_pad_to=1024,
+    )
+    model = PointNetSeg(num_classes=C)
+    state = create_train_state(model, jnp.zeros((4, 512, 9)), learning_rate=1e-3)
+    logger = MetricsLogger(str(tmp_path / "runs"), use_tensorboard=False)
+    state, records = train_model(
+        state, train_loader, test_loader, num_epochs=2, log_interval=5,
+        logger=logger, ckpt_dir=str(tmp_path / "ckpt"),
+        config={"model": "PointNet"}, verbose=False,
+    )
+    logger.close()
+    assert len(records["train_loss"]) == 2
+    assert records["train_loss"][1] < records["train_loss"][0]
+    ev = evaluate(state, test_loader, num_classes=C)
+    assert ev["accuracy"] > 1.5 / C  # decidedly above chance
+    # logging artifacts exist
+    assert os.path.exists(tmp_path / "runs" / "metrics.csv")
+    assert os.path.exists(tmp_path / "runs" / "metrics.jsonl")
+    # checkpoints written each epoch
+    assert latest_checkpoint(str(tmp_path / "ckpt")) is not None
+    assert load_config(str(tmp_path / "ckpt"))["model"] == "PointNet"
+
+
+def test_checkpoint_roundtrip_and_resume(small_state, tmp_path):
+    rng = np.random.default_rng(0)
+    points = jnp.array(rng.normal(size=(2, 128, 9)).astype(np.float32))
+    labels = jax.nn.one_hot(jnp.zeros((2, 128), jnp.int32), C)
+    lengths = jnp.array([128, 128])
+
+    state = small_state
+    for _ in range(3):
+        state, _ = train_step(state, points, labels, lengths, jax.random.key(0))
+    path = save_checkpoint(str(tmp_path), state, config={"lr": 1e-3})
+    assert os.path.exists(path)
+
+    model = PointNetSeg(num_classes=C)
+    fresh = create_train_state(model, jnp.zeros((2, 128, 9)), seed=99)
+    restored = restore_train_state(str(tmp_path), fresh)
+    assert int(restored.step) == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        restored.params,
+        state.params,
+    )
+    # restored state continues training identically
+    a, _ = train_step(restored, points, labels, lengths, jax.random.key(0))
+    b, _ = train_step(state, points, labels, lengths, jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(a.params)[0]),
+        np.asarray(jax.tree.leaves(b.params)[0]),
+    )
+
+
+def test_checkpoint_pruning(small_state, tmp_path):
+    state = small_state
+    for s in range(7):
+        save_checkpoint(str(tmp_path), state.replace(step=jnp.int32(s)), keep=3)
+    ckpts = sorted(f for f in os.listdir(tmp_path) if f.endswith(".msgpack"))
+    assert len(ckpts) == 3
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint_6.msgpack")
+
+
+def test_save_records(tmp_path):
+    p = save_records(str(tmp_path), "run1", {"train_loss": [1.0, 0.5]})
+    assert p.endswith(".json") and os.path.exists(p)
+    p = save_records(str(tmp_path), "run1", {"train_loss": [1.0]}, as_pickle=True)
+    assert p.endswith(".pkl") and os.path.exists(p)
