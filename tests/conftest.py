@@ -22,6 +22,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# jax is pre-imported by the environment's sitecustomize with
+# JAX_PLATFORMS=axon already latched — the config update (effective
+# until first backend initialization) is what actually selects CPU.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: test runs are compile-bound on CPU.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

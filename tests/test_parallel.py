@@ -1,0 +1,76 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointseg.models import PointNetSeg
+from pointseg.parallel import create_mesh, shard_batch, shard_state
+from pointseg.train.state import create_train_state, train_step
+
+C = 14
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return create_mesh(jax.devices()[:8])
+
+
+def _batch(rng, B, N):
+    points = rng.normal(size=(B, N, 9)).astype(np.float32)
+    labels = np.eye(C, dtype=np.uint8)[rng.integers(0, C, size=(B, N))]
+    lengths = np.full((B,), N, np.int32)
+    return points, labels, lengths
+
+
+def test_dp_train_step_runs_on_mesh(mesh, rng):
+    model = PointNetSeg(num_classes=C)
+    state = create_train_state(model, jnp.zeros((8, 64, 9)))
+    state = shard_state(mesh, state)
+    batch = shard_batch(mesh, _batch(rng, 8, 64))
+    new_state, m = train_step(state, *batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    # batch stays sharded over the data axis
+    assert len(batch[0].sharding.device_set) == 8
+
+
+def test_dp_matches_single_device(rng):
+    """The same step on a 1-device mesh and an 8-device mesh must agree:
+    GSPMD parallelization is semantics-preserving."""
+    model = PointNetSeg(num_classes=C)
+    batch_np = _batch(rng, 8, 64)
+
+    def run(n_dev):
+        mesh = create_mesh(jax.devices()[:n_dev])
+        state = create_train_state(model, jnp.zeros((8, 64, 9)), seed=0)
+        state = shard_state(mesh, state)
+        batch = shard_batch(mesh, batch_np)
+        state, m = train_step(state, *batch, jax.random.key(0))
+        return float(m["loss"]), jax.tree.leaves(state.params)[0]
+
+    loss1, p1 = run(1)
+    loss8, p8 = run(8)
+    assert abs(loss1 - loss8) < 1e-4
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+def test_point_axis_sharding_forward(mesh, rng):
+    """Spatial sharding of N for whole-room eval compiles and matches
+    the replicated result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model = PointNetSeg(num_classes=C)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 512, 9)))
+    pts = rng.normal(size=(1, 512, 9)).astype(np.float32)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    ref = fwd(variables, jnp.asarray(pts))
+    sharded = jax.device_put(pts, NamedSharding(mesh, P(None, "data")))
+    out = fwd(variables, sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

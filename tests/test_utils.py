@@ -1,0 +1,85 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointseg.models import PointNetSeg
+from pointseg.utils.benchmark import benchmark_fn, benchmark_points_per_sec
+from pointseg.utils.memory import format_memory_usage, get_memory_usage
+from pointseg.utils.sliding_window import predict_single_scene
+
+C = 14
+
+
+def _forward():
+    model = PointNetSeg(num_classes=C)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 9)))
+
+    @jax.jit
+    def fwd(points, lengths):
+        from pointseg.train.loss import length_mask
+
+        mask = length_mask(lengths, points.shape[1])
+        return model.apply(variables, points, train=False, mask=mask)
+
+    return fwd
+
+
+def test_sliding_window_small_scene(rng):
+    fwd = _forward()
+    pts = rng.normal(size=(40, 9)).astype(np.float32)
+    preds, conf = predict_single_scene(fwd, pts, window_size=64, overlap=16)
+    assert preds.shape == (40,) and conf.shape == (40,)
+    assert (conf > 0).all() and (conf <= 1).all()
+
+
+def test_sliding_window_overlap_covers_everything(rng):
+    fwd = _forward()
+    pts = rng.normal(size=(200, 9)).astype(np.float32)
+    preds, conf = predict_single_scene(fwd, pts, window_size=64, overlap=16)
+    assert preds.shape == (200,)
+    assert (preds >= 0).all() and (preds < C).all()
+
+
+def test_sliding_window_matches_single_pass_when_fits(rng):
+    """A scene that fits in one window must equal the direct forward."""
+    fwd = _forward()
+    pts = rng.normal(size=(64, 9)).astype(np.float32)
+    preds, _ = predict_single_scene(fwd, pts, window_size=64, overlap=16)
+    direct = np.asarray(
+        fwd(jnp.asarray(pts[None]), jnp.asarray([64]))
+    )[0].argmax(-1)
+    np.testing.assert_array_equal(preds, direct)
+
+
+def test_benchmark_fn(rng):
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((8, 8))
+    stats = benchmark_fn(f, x, num_runs=3, warmup=1)
+    assert stats["mean_s"] > 0 and stats["fps"] > 0
+    stats = benchmark_points_per_sec(f, x, points_per_call=64, num_runs=3, warmup=1)
+    assert stats["points_per_sec"] > 0
+
+
+def test_memory_usage_shape():
+    m = get_memory_usage()
+    assert "devices" in m and len(m["devices"]) >= 1
+    assert isinstance(format_memory_usage(), str)
+
+
+def test_visualize_predictions(tmp_path, rng):
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        import pytest
+
+        pytest.skip("matplotlib not installed")
+    from pointseg.utils.visualize import plot_confusion_matrix, visualize_predictions
+
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    preds = rng.integers(0, C, 100)
+    labels = rng.integers(0, C, 100)
+    p = visualize_predictions(pts, preds, labels, save_path=str(tmp_path / "v.png"))
+    assert (tmp_path / "v.png").exists()
+    m = rng.integers(0, 50, (C, C))
+    p = plot_confusion_matrix(m, save_path=str(tmp_path / "c.png"))
+    assert (tmp_path / "c.png").exists()
