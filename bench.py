@@ -48,16 +48,22 @@ def main() -> None:
     state = create_train_state(model, points, 1e-3)
     key = jax.random.key(0)
 
+    # NB: under the axon relay, block_until_ready returns before the
+    # computation finishes; a host device_get of a scalar is the only
+    # reliable synchronization point. Chained steps + one final fetch.
+    def sync(x):
+        jax.device_get(x.ravel()[0])
+
     # warmup (compile + a few steps)
     for _ in range(5):
         state, m = train_step(state, points, labels, lengths, key)
-    jax.block_until_ready(state.params)
+    sync(m["loss"])
 
     runs = 30
     t0 = time.perf_counter()
     for _ in range(runs):
         state, m = train_step(state, points, labels, lengths, key)
-    jax.block_until_ready(state.params)
+    sync(m["loss"])
     dt = (time.perf_counter() - t0) / runs
 
     pps = B * N / dt

@@ -238,19 +238,28 @@ def cmd_benchmark(args) -> int:
             s, m = train_step(s, points, labels, lengths, jax.random.key(0))
             return s
 
-        # donation-safe timing loop: thread the state
+        # donation-safe timing loop: thread the state; sync via a host
+        # scalar fetch (block_until_ready can no-op on relayed runtimes)
         import time as _t
+
+        def sync(s):
+            jax.device_get(jax.tree.leaves(s.params)[0].ravel()[0])
 
         s = state
         for _ in range(args.warmup):
             s = step(s)
-        jax.block_until_ready(s.params)
+        sync(s)
         times = []
-        for _ in range(args.runs):
+        chunk = 5
+        done = 0
+        while done < args.runs:
+            n = min(chunk, args.runs - done)
             t0 = _t.perf_counter()
-            s = step(s)
-            jax.block_until_ready(s.params)
-            times.append(_t.perf_counter() - t0)
+            for _ in range(n):
+                s = step(s)
+            sync(s)
+            times.append((_t.perf_counter() - t0) / n)
+            done += n
         mean = float(np.mean(times))
         stats = {
             "mean_s": mean,

@@ -75,6 +75,13 @@ def ball_query(
             lies within the radius (False marks the reference's
             "filler" selections).
     """
+    from pointseg.ops.dispatch import use_pallas
+
+    if mask is None and use_pallas():
+        from pointseg.ops.pallas.ballquery import ball_query_pallas
+
+        return ball_query_pallas(centroids, coords, float(radius), K)
+
     d2 = pairwise_sqdist(centroids, coords)  # (B, C, N)
     r2 = jnp.float32(radius) ** 2
     inside = d2 <= r2

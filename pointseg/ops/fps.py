@@ -69,6 +69,15 @@ def farthest_point_sampling(
         else:
             farthest0 = jnp.zeros((B,), dtype=jnp.int32)
 
+    from pointseg.ops.dispatch import use_pallas
+
+    if mask is None and use_pallas():
+        from pointseg.ops.pallas.fps import farthest_point_sampling_pallas
+
+        return farthest_point_sampling_pallas(
+            coords, C, start_indices=farthest0
+        )
+
     coords = coords.astype(jnp.float32)
     distance0 = jnp.full((B, N), jnp.inf, dtype=jnp.float32)
     if mask is not None:

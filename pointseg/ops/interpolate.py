@@ -35,6 +35,13 @@ def three_nn(
         d2: (B, N, k) squared distances (ascending).
         idx: (B, N, k) int32 indices into M.
     """
+    from pointseg.ops.dispatch import use_pallas
+
+    if src_mask is None and use_pallas():
+        from pointseg.ops.pallas.threenn import three_nn_pallas
+
+        return three_nn_pallas(coords_tgt, coords_src, k)
+
     d2 = pairwise_sqdist(coords_tgt, coords_src)  # (B, N, M)
     if src_mask is not None:
         d2 = jnp.where(src_mask[:, None, :], d2, jnp.inf)

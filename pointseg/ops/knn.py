@@ -40,6 +40,13 @@ def knn_indices(
     Returns:
         (B, N, k) int32 neighbor indices.
     """
+    from pointseg.ops.dispatch import use_pallas
+
+    if mask is None and include_self and use_pallas():
+        from pointseg.ops.pallas.knn import knn_indices_pallas
+
+        return knn_indices_pallas(x, k)
+
     x = x.astype(jnp.float32)
     x2 = jnp.sum(x * x, axis=-1)  # (B, N)
     gram = jnp.einsum(

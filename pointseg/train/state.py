@@ -70,16 +70,20 @@ def train_step(
     lengths: jax.Array,
     rng: jax.Array,
 ) -> tuple[TrainState, dict]:
-    """One optimization step + train-batch metrics."""
+    """One optimization step + train-batch metrics.
+
+    The model runs UNMASKED (padded zeros join regions/pools — the
+    reference behavior, SURVEY.md hard-part (b)), which also keeps the
+    geometric primitives on their fused Pallas fast path; the loss and
+    metrics are length-masked as always.
+    """
     dropout_rng, fps_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-    mask = M.length_mask(lengths, points.shape[1])
 
     def loss_fn(params):
         logits, updates = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             points,
             train=True,
-            mask=mask,
             rngs={"dropout": dropout_rng, "fps": fps_rng},
             mutable=["batch_stats"],
         )
@@ -110,13 +114,12 @@ def eval_step(
     labels: jax.Array,
     lengths: jax.Array,
 ) -> dict:
-    """Loss + streaming metric contributions for one eval batch."""
-    mask = M.length_mask(lengths, points.shape[1])
+    """Loss + streaming metric contributions for one eval batch.
+    Model runs unmasked (see train_step); metrics are length-masked."""
     logits = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         points,
         train=False,
-        mask=mask,
     )
     loss = masked_onehot_cross_entropy(logits, labels, lengths)
     correct, total = M.update_accuracy(logits, labels, lengths)

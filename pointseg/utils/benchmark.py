@@ -15,20 +15,36 @@ import jax
 import numpy as np
 
 
+def _sync(out) -> None:
+    """Hard synchronization: fetch one scalar to the host. (On relayed
+    TPU runtimes `block_until_ready` can return before execution
+    completes; a device_get cannot.)"""
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
 def benchmark_fn(
     fn: Callable,
     *args,
     num_runs: int = 50,
     warmup: int = 10,
+    chunk: int = 10,
 ) -> dict:
-    """Times `fn(*args)` with proper device synchronization."""
+    """Times `fn(*args)`: dispatches `chunk` calls back-to-back and
+    synchronizes once per chunk, amortizing host-device round trips."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _sync(out)
     times = []
-    for _ in range(num_runs):
+    done = 0
+    while done < num_runs:
+        n = min(chunk, num_runs - done)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        times.append((time.perf_counter() - t0) / n)
+        done += n
     times = np.array(times)
     return {
         "mean_s": float(times.mean()),
