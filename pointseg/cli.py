@@ -182,6 +182,52 @@ def cmd_evaluate(args) -> int:
     state = restore_train_state(args.model_path, state)
     print(f"Loaded {model_name} from {args.model_path} (step {int(state.step)}).")
 
+    if args.whole_rooms:
+        # whole-room sliding-window evaluation over the chunked stack
+        # (reference models/dgcnn/evaluate.py + utils.py:134-258)
+        from pointseg.data.datasets import ChunkedRoomDataset, ListLoader
+        from pointseg.utils.evaluation import evaluate_rooms
+
+        ds = ChunkedRoomDataset(
+            args.data_path, args.test_areas, require_index_file=False
+        )
+        loader = ListLoader(ds, batch_size=1)
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        @jax.jit
+        def forward(points, lengths):
+            return model.apply(variables, points, train=False)
+
+        # rooms carry 6 features (xyz+rgb); models trained on 9-feature
+        # blocks need the relative-coordinate augmentation
+        def forward9(points, lengths):
+            p = jnp.asarray(points)
+            center = jnp.concatenate(
+                [
+                    p[..., 0:1].min(axis=1, keepdims=True) + 0.5,
+                    p[..., 1:2].min(axis=1, keepdims=True) + 0.5,
+                    (p[..., 2:3].min(axis=1, keepdims=True)
+                     + p[..., 2:3].max(axis=1, keepdims=True)) / 2,
+                ],
+                axis=-1,
+            )
+            p9 = jnp.concatenate([p, p[..., :3] - center], axis=-1)
+            return forward(p9, lengths)
+
+        results = evaluate_rooms(
+            forward9,
+            loader,
+            S3DIS_CLASSES,
+            window_size=args.window_size,
+            overlap=args.overlap,
+        )
+        if args.save_results:
+            with open(args.save_results, "w") as f:
+                json.dump(results, f, indent=2)
+            print(f"Results saved to {args.save_results}")
+        return 0
+
     _, test_loader = create_block_dataloaders(
         data_dir=args.data_path,
         test_areas=set(args.test_areas),
@@ -345,6 +391,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampling", type=int, default=None)
     p.add_argument("--test-areas", type=int, nargs="+", default=[6])
     p.add_argument("--save-results", default=None)
+    p.add_argument("--whole-rooms", action="store_true",
+                   help="Whole-room sliding-window eval over chunked data.")
+    p.add_argument("--window-size", type=int, default=4096)
+    p.add_argument("--overlap", type=int, default=512)
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("benchmark", help="Micro-benchmark a model.")

@@ -1,0 +1,137 @@
+"""Tests for the component-parity additions: monolithic room dataset,
+whole-room evaluation, enhanced trainer, examples."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointseg.data import synthetic
+from pointseg.data.datasets import (
+    ChunkedRoomDataset,
+    ListLoader,
+    RoomDataset,
+    create_s3dis_dataloaders,
+)
+from pointseg.models import DGCNNWithColor, PointNetSeg
+from pointseg.train.enhanced import (
+    create_dgcnn_trainer,
+    quick_test_model,
+    train_model_with_detailed_progress,
+)
+from pointseg.train.state import create_train_state
+from pointseg.utils.evaluation import evaluate_rooms
+
+
+@pytest.fixture(scope="module")
+def area_dir(tmp_path_factory):
+    return synthetic.make_area_dataset(
+        str(tmp_path_factory.mktemp("areas")), rooms_per_area=2, points_per_room=300
+    )
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(tmp_path_factory):
+    return synthetic.make_chunked_dataset(
+        str(tmp_path_factory.mktemp("chunks")), rooms_per_area=2, points_per_room=300
+    )
+
+
+def test_room_dataset_index_cache(area_dir):
+    ds = RoomDataset(area_dir, [1, 2])
+    assert len(ds) == 4
+    assert os.path.exists(os.path.join(area_dir, "s3dis_index_mapping.json"))
+    # cached init sees the same mapping
+    ds2 = RoomDataset(area_dir, [1, 2])
+    assert ds2.index_mapping == ds.index_mapping
+    s = ds[0]
+    assert s["x"].shape[1] == 6 and isinstance(s["y"][0], str)
+
+
+def test_room_dataset_in_memory(area_dir):
+    ds = RoomDataset(area_dir, [3], load_in_memory=True)
+    assert 3 in ds._cache
+    assert ds[0]["area"] == 3
+
+
+def test_create_s3dis_dataloaders(area_dir):
+    train, test = create_s3dis_dataloaders(area_dir)
+    assert len(train.dataset) == 10 and len(test.dataset) == 2
+    batch = next(iter(train))
+    assert isinstance(batch["x"], list)
+
+
+def test_evaluate_rooms_whole_pipeline(chunk_dir):
+    """Whole-room sliding-window eval: a constant-class predictor gets
+    exactly the base rate of that class."""
+    from pointseg.data.s3dis import S3DIS_CLASSES
+
+    ds = ChunkedRoomDataset(chunk_dir, [6])
+    loader = ListLoader(ds, batch_size=1)
+
+    def forward(points, lengths):
+        B, W, _ = points.shape
+        logits = jnp.zeros((B, W, 14))
+        return logits.at[..., 2].set(10.0)  # always predict "wall"
+
+    res = evaluate_rooms(
+        forward, loader, S3DIS_CLASSES, window_size=128, overlap=32, verbose=False
+    )
+    # class 2 accuracy must be 1.0; overall = share of class-2 points
+    assert res["class_accuracies"][2] == 1.0
+    assert 0 < res["overall_accuracy"] < 1
+    assert res["class_ious"][2] == pytest.approx(res["overall_accuracy"], abs=1e-6)
+    assert res["total_points"] == sum(len(ds[i]["y"]) for i in range(len(ds)))
+
+
+def test_enhanced_trainer_records(chunk_dir, tmp_path):
+    from pointseg.data.s3dis import S3DIS_CLASSES
+
+    train_loader = ListLoader(ChunkedRoomDataset(chunk_dir, [1]), batch_size=2)
+    test_loader = ListLoader(ChunkedRoomDataset(chunk_dir, [6]), batch_size=2)
+    model = PointNetSeg(num_classes=14, in_dim=6)
+    state = create_train_state(model, jnp.zeros((2, 256, 6)))
+    state, records = train_model_with_detailed_progress(
+        state, train_loader, test_loader, S3DIS_CLASSES,
+        epochs=1, cut=256, sampling=0.9,
+        records_dir=str(tmp_path), records_filename="enh",
+        config={"model": "PointNet"}, verbose=False,
+    )
+    assert len(records["epoch_times"]) == 1
+    assert "total_time" in records
+    assert records["config"]["model"] == "PointNet"
+    with open(tmp_path / "enh.json") as f:
+        assert json.load(f)["val_acc"][0] is not None
+
+
+def test_create_dgcnn_trainer_defaults():
+    train, cfg = create_dgcnn_trainer(epochs=1, k=4, emb_dims=32)
+    assert cfg["k"] == 4 and cfg["cut"] == 8192 and cfg["sampling"] == 0.5
+    assert callable(train)
+
+
+def test_quick_test_model():
+    res = quick_test_model(k=4, emb_dims=32, n_points=128, verbose=False)
+    assert res["output_shape"] == (2, 128, 14)
+    assert res["num_params"] > 0
+
+
+@pytest.mark.parametrize(
+    "script", ["example_use_s3dis.py", "example_use_chunked_s3dis.py"]
+)
+def test_example_scripts_run(script, tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join("examples", script),
+         "--data-path", str(tmp_path / "d"), "--synthetic"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "First" in out.stdout
