@@ -59,12 +59,17 @@ def main() -> None:
         state, m = train_step(state, points, labels, lengths, key)
     sync(m["loss"])
 
-    runs = 30
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        state, m = train_step(state, points, labels, lengths, key)
-    sync(m["loss"])
-    dt = (time.perf_counter() - t0) / runs
+    # relay throughput varies run to run; report the median of several
+    # chained-chunk measurements
+    chunk, n_chunks = 10, 6
+    per_chunk = []
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            state, m = train_step(state, points, labels, lengths, key)
+        sync(m["loss"])
+        per_chunk.append((time.perf_counter() - t0) / chunk)
+    dt = float(np.median(per_chunk))
 
     pps = B * N / dt
     print(
