@@ -34,7 +34,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from pointseg.models import PointNetPP
+    from pointseg.runtime import setup_runtime
     from pointseg.train.state import create_train_state, train_step
+
+    setup_runtime()
 
     B, N, C = 8, 4096, 14
     rng = np.random.default_rng(0)

@@ -67,9 +67,12 @@ def cmd_train(args) -> int:
     from pointseg.data import synthetic
     from pointseg.io.checkpoint import restore_train_state
     from pointseg.models import create_model
+    from pointseg.runtime import is_oom_error, oom_advice, setup_runtime
     from pointseg.train.logging import MetricsLogger, save_records
     from pointseg.train.loop import train_model
     from pointseg.train.state import create_train_state
+
+    setup_runtime()
 
     if args.synthetic and not os.path.exists(args.data_dir):
         print(f"Generating synthetic block dataset at {args.data_dir} ...")
@@ -118,18 +121,23 @@ def cmd_train(args) -> int:
 
         jax.profiler.start_trace(args.profile)
 
-    state, records = train_model(
-        state,
-        train_loader,
-        test_loader,
-        num_epochs=args.epochs,
-        log_interval=args.log_interval,
-        logger=logger,
-        seed=args.seed,
-        num_classes=NUM_S3DIS_CLASSES,
-        ckpt_dir=ckpt_dir,
-        config=config,
-    )
+    try:
+        state, records = train_model(
+            state,
+            train_loader,
+            test_loader,
+            num_epochs=args.epochs,
+            log_interval=args.log_interval,
+            logger=logger,
+            seed=args.seed,
+            num_classes=NUM_S3DIS_CLASSES,
+            ckpt_dir=ckpt_dir,
+            config=config,
+        )
+    except Exception as e:
+        if is_oom_error(e):
+            print(oom_advice(args.train_batch_size, args.train_sampling))
+        raise
 
     if args.profile:
         jax.profiler.stop_trace()
