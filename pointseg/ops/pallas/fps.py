@@ -78,12 +78,26 @@ def farthest_point_sampling_pallas(
             PRNG-drawn values for randomized starts).
     """
     B, N, _ = coords.shape
+    if start_indices is None:
+        start_indices = jnp.zeros((B,), jnp.int32)
+
+    # Mosaic requires >= 8 sublanes on the (B, N) working buffers; pad
+    # the batch (extra rows ride otherwise-idle VPU lanes) and slice.
+    B_pad = max(8, -(-B // 8) * 8)
+    if B_pad != B:
+        pad = B_pad - B
+        coords = jnp.concatenate(
+            [coords, jnp.broadcast_to(coords[:1], (pad, N, 3))], axis=0
+        )
+        start_indices = jnp.concatenate(
+            [start_indices, jnp.zeros((pad,), start_indices.dtype)], axis=0
+        )
+        return farthest_point_sampling_pallas(coords, num_samples, start_indices)[:B]
+
     # selection is non-differentiable; keep AD out of the kernel
     coords_t = jax.lax.stop_gradient(
         jnp.swapaxes(coords.astype(jnp.float32), 1, 2)
     )  # (B, 3, N)
-    if start_indices is None:
-        start_indices = jnp.zeros((B,), jnp.int32)
     start_indices = start_indices.astype(jnp.int32).reshape(B, 1)
 
     return pl.pallas_call(
