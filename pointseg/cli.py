@@ -55,6 +55,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", default=None, help="Checkpoint dir or file to resume from.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="Compute in bfloat16.")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard the batch over all devices (SPMD DP).")
     p.add_argument("--profile", default=None,
                    help="Capture a jax.profiler trace of the first train steps to this dir.")
 
@@ -113,6 +115,22 @@ def cmd_train(args) -> int:
     if args.resume:
         state = restore_train_state(args.resume, state)
         print(f"Resumed from step {int(state.step)}.")
+
+    if args.data_parallel:
+        # SPMD data parallelism: batch axis sharded over all devices,
+        # params replicated; XLA inserts the grad all-reduce. Single
+        # chip is the degenerate 1-device mesh.
+        from pointseg.parallel import create_mesh, shard_state
+
+        mesh = create_mesh()
+        state = shard_state(mesh, state)
+        n = len(mesh.devices.ravel())
+        if args.train_batch_size % n != 0:
+            raise SystemExit(
+                f"--data-parallel needs train batch size divisible by "
+                f"{n} devices, got {args.train_batch_size}"
+            )
+        print(f"Data-parallel over {n} device(s).")
 
     config = {k: v for k, v in vars(args).items() if not callable(v) and k != "func"}
 

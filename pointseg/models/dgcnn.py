@@ -122,3 +122,11 @@ def get_model(num_classes: int = 14, use_color: bool = True, **kwargs):
     """Factory mirroring the reference's get_model (dgcnn.py:260-273)."""
     cls = DGCNNWithColor if use_color else DGCNN
     return cls(num_classes=num_classes, **kwargs)
+
+
+def get_loss():
+    """Loss factory for API parity with the reference (dgcnn.py:276-280,
+    unused there too): returns the framework's masked CE."""
+    from pointseg.train.loss import masked_onehot_cross_entropy
+
+    return masked_onehot_cross_entropy

@@ -41,7 +41,7 @@ def train_epoch_with_progress(
 ) -> tuple[TrainState, float]:
     """Legacy train epoch with rate/ETA/memory postfix
     (reference train_model.py:14-118)."""
-    total_loss = 0.0
+    losses = []
     batches = 0
     n_total = len(train_loader)
     t0 = time.time()
@@ -58,7 +58,7 @@ def train_epoch_with_progress(
             state, jnp.asarray(points), jnp.asarray(labels), jnp.asarray(lengths),
             rng_key,
         )
-        total_loss += float(metrics["loss"])
+        losses.append(metrics["loss"])  # device scalar; one sync per epoch
         points_seen += int(lengths.sum())
         if verbose and (bi + 1) % log_every == 0:
             dt = time.time() - t0
@@ -71,7 +71,8 @@ def train_epoch_with_progress(
                 f"| {format_memory_usage()}",
                 flush=True,
             )
-    return state, total_loss / max(batches, 1)
+    total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+    return state, total / max(batches, 1)
 
 
 def evaluate_with_progress(
@@ -82,9 +83,9 @@ def evaluate_with_progress(
     np_rng: np.random.Generator,
 ) -> tuple[float | None, float | None]:
     """(reference train_model.py:121-168); eval never subsamples."""
-    total_loss = 0.0
-    correct = 0.0
-    total = 0.0
+    losses = []
+    correct = None
+    total = None
     batches = 0
     for batch in test_loader:
         points, labels, lengths, cont = preprocess_batch_to_train_format(
@@ -96,12 +97,15 @@ def evaluate_with_progress(
         out = eval_step(
             state, jnp.asarray(points), jnp.asarray(labels), jnp.asarray(lengths)
         )
-        total_loss += float(out["loss"])
-        correct += float(out["correct"])
-        total += float(out["total"])
-    if batches == 0:
+        losses.append(out["loss"])
+        correct = out["correct"] if correct is None else correct + out["correct"]
+        total = out["total"] if total is None else total + out["total"]
+    if batches == 0 or not losses:
         return None, None
-    return total_loss / batches, correct / max(total, 1.0)
+    return (
+        float(jnp.sum(jnp.stack(losses))) / batches,
+        float(correct) / max(float(total), 1.0),
+    )
 
 
 def train_model_with_detailed_progress(

@@ -101,7 +101,7 @@ def train_epoch(
     np_rng: np.random.Generator,
 ) -> tuple[TrainState, float]:
     """(reference train_model.py:175-198)"""
-    total_loss = 0.0
+    losses = []
     batches = 0
     for batch in train_loader:
         points, labels, lengths, cont = preprocess_batch_to_train_format(
@@ -114,8 +114,9 @@ def train_epoch(
             state, jnp.asarray(points), jnp.asarray(labels), jnp.asarray(lengths),
             rng_key,
         )
-        total_loss += float(metrics["loss"])
-    return state, total_loss / max(batches, 1)
+        losses.append(metrics["loss"])  # device scalar; one sync per epoch
+    total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+    return state, total / max(batches, 1)
 
 
 def evaluate(
@@ -130,9 +131,9 @@ def evaluate(
     NB the reference weights `accuracy_from_one_hot` (computed over ALL
     positions incl. padding) by real lengths; we weight the masked
     accuracy — the bug-fixed equivalent."""
-    total_loss = 0.0
-    correct = 0.0
-    total = 0.0
+    losses = []
+    correct = None
+    total = None
     batches = 0
     for batch in test_loader:
         points, labels, lengths, cont = preprocess_batch_to_train_format(
@@ -144,12 +145,15 @@ def evaluate(
         out = eval_step(
             state, jnp.asarray(points), jnp.asarray(labels), jnp.asarray(lengths)
         )
-        total_loss += float(out["loss"])
-        correct += float(out["correct"])
-        total += float(out["total"])
-    if batches == 0:
+        losses.append(out["loss"])  # device accumulation; one sync below
+        correct = out["correct"] if correct is None else correct + out["correct"]
+        total = out["total"] if total is None else total + out["total"]
+    if batches == 0 or not losses:
         return None, None
-    return total_loss / batches, correct / max(total, 1.0)
+    return (
+        float(jnp.sum(jnp.stack(losses))) / batches,
+        float(correct) / max(float(total), 1.0),
+    )
 
 
 def train_model(

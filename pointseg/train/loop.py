@@ -40,7 +40,10 @@ def train_epoch(
     verbose: bool = True,
 ) -> tuple[TrainState, float, int]:
     """One pass over the training set (reference training.py:29-78)."""
-    total_loss = 0.0
+    # Losses accumulate as device scalars; ONE host sync per epoch (a
+    # per-batch float() costs a full host round trip — on the relayed
+    # runtime that dwarfed the 20ms step itself).
+    losses = []
     num_batches = 0
     for batch_index, (points, labels, lengths) in enumerate(train_loader):
         state, metrics = train_step(
@@ -51,7 +54,7 @@ def train_epoch(
             rng,
         )
         if logger is not None and batch_index % log_interval == 0:
-            # single host sync per log interval
+            # host sync only at the log interval
             logger.add_scalar("Train/Loss", float(metrics["loss"]), global_step)
             logger.add_scalar(
                 "Train/Accuracy", 100.0 * float(metrics["accuracy"]), global_step
@@ -59,10 +62,11 @@ def train_epoch(
             logger.add_scalar(
                 "Train/Mean_IoU", 100.0 * float(metrics["miou"]), global_step
             )
-        total_loss += float(metrics["loss"])
+        losses.append(metrics["loss"])
         num_batches += 1
         global_step += 1
-    return state, total_loss / max(num_batches, 1), global_step
+    total_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+    return state, total_loss, global_step
 
 
 def evaluate(
@@ -71,7 +75,8 @@ def evaluate(
     num_classes: int = 14,
 ) -> dict:
     """Streaming evaluation over the test set (training.py:80-133)."""
-    total_loss = 0.0
+    # all accumulation stays on device; one host sync at the end
+    losses = []
     num_batches = 0
     correct = jnp.zeros((), jnp.int32)
     total = jnp.zeros((), jnp.int32)
@@ -83,7 +88,7 @@ def evaluate(
         out = eval_step(
             state, jnp.asarray(points), jnp.asarray(labels), jnp.asarray(lengths)
         )
-        total_loss += float(out["loss"])
+        losses.append(out["loss"])
         num_batches += 1
         correct = correct + out["correct"]
         total = total + out["total"]
@@ -93,7 +98,7 @@ def evaluate(
 
     mean_iou, ious = M.iou_from_totals(inter, union)
     return {
-        "loss": total_loss / max(num_batches, 1),
+        "loss": float(jnp.mean(jnp.stack(losses))) if losses else 0.0,
         "accuracy": float(correct) / max(float(total), 1.0),
         "mean_iou": float(mean_iou),
         "ious": np.asarray(ious),
