@@ -18,10 +18,9 @@ evaluation reproducible — the reference re-randomizes at eval too
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from pointseg import ops

@@ -6,7 +6,6 @@ import os
 import subprocess
 import sys
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -18,7 +17,7 @@ from pointseg.data.datasets import (
     RoomDataset,
     create_s3dis_dataloaders,
 )
-from pointseg.models import DGCNNWithColor, PointNetSeg
+from pointseg.models import PointNetSeg
 from pointseg.train.enhanced import (
     create_dgcnn_trainer,
     quick_test_model,
