@@ -42,6 +42,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="Generate a synthetic block dataset (no S3DIS needed).")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--lr-schedule", choices=["constant", "cosine", "warmup_cosine"],
+                   default="constant",
+                   help="constant reproduces the reference's fixed-LR Adam.")
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="Global-norm gradient clipping.")
     p.add_argument("--train-batch-size", type=int, default=8)
     p.add_argument("--test-batch-size", type=int, default=2)
     p.add_argument("--train-sampling", type=int, default=4096)
@@ -110,8 +116,18 @@ def cmd_train(args) -> int:
     print(f"Using devices {jax.devices()}.")
     print("-" * 15)
 
+    from pointseg.train.state import make_optimizer
+
     example = jnp.zeros((args.train_batch_size, args.train_sampling, 9), jnp.float32)
-    state = create_train_state(model, example, args.learning_rate, seed=args.seed)
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = make_optimizer(
+        args.learning_rate,
+        schedule=args.lr_schedule,
+        total_steps=args.epochs * steps_per_epoch,
+        warmup_steps=args.warmup_steps,
+        grad_clip=args.grad_clip,
+    )
+    state = create_train_state(model, example, args.learning_rate, tx=tx, seed=args.seed)
     if args.resume:
         state = restore_train_state(args.resume, state)
         print(f"Resumed from step {int(state.step)}.")

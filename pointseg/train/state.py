@@ -38,6 +38,38 @@ class TrainState(flax.struct.PyTreeNode):
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
 
+def make_optimizer(
+    learning_rate: float = 1e-3,
+    schedule: str = "constant",
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+    grad_clip: float | None = None,
+) -> optax.GradientTransformation:
+    """Adam with optional LR schedule and gradient clipping.
+
+    The reference trains with fixed-LR Adam and no clipping
+    (train.py:79); `constant` with no clip reproduces that exactly.
+    `cosine`/`warmup_cosine` need `total_steps`.
+    """
+    if schedule == "constant":
+        lr = learning_rate
+    elif schedule == "cosine":
+        assert total_steps, "cosine schedule needs total_steps"
+        lr = optax.cosine_decay_schedule(learning_rate, total_steps)
+    elif schedule == "warmup_cosine":
+        assert total_steps, "warmup_cosine schedule needs total_steps"
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps
+        )
+    else:
+        raise ValueError(f"unknown schedule '{schedule}'")
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adam(lr))
+    return optax.chain(*chain)
+
+
 def create_train_state(
     model,
     example_points: jax.Array,
@@ -50,7 +82,7 @@ def create_train_state(
     variables = model.init(
         {"params": jax.random.key(seed)}, example_points, train=False
     )
-    tx = tx if tx is not None else optax.adam(learning_rate)
+    tx = tx if tx is not None else make_optimizer(learning_rate)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -164,3 +164,23 @@ def test_save_records(tmp_path):
     assert p.endswith(".json") and os.path.exists(p)
     p = save_records(str(tmp_path), "run1", {"train_loss": [1.0]}, as_pickle=True)
     assert p.endswith(".pkl") and os.path.exists(p)
+
+
+def test_make_optimizer_variants():
+    from pointseg.train.state import make_optimizer
+
+    import optax
+
+    for kwargs in [
+        {},
+        {"schedule": "cosine", "total_steps": 100},
+        {"schedule": "warmup_cosine", "total_steps": 100, "warmup_steps": 10},
+        {"grad_clip": 1.0},
+    ]:
+        tx = make_optimizer(1e-3, **kwargs)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones((3,))}, opt_state, params)
+        assert jnp.isfinite(updates["w"]).all()
+    with pytest.raises(ValueError, match="unknown schedule"):
+        make_optimizer(1e-3, schedule="nope")
