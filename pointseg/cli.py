@@ -385,7 +385,9 @@ def cmd_train_legacy(args) -> int:
     )
     if args.test_on_train:
         test_loader = train_loader  # the reference's small-excerpt mode
-    model = create_model(args.model, num_classes=len(mapping))
+    # chunked rooms carry 6 features (xyz+rgb), not the block stack's 9
+    kwargs = {"in_dim": 6} if args.model == "PointNet" else {}
+    model = create_model(args.model, num_classes=len(mapping), **kwargs)
     example = jnp.zeros((args.batch_size, min(args.cut or 1024, 4096), 6), jnp.float32)
     state = create_train_state(model, example, args.learning_rate, seed=args.seed)
     state, records = legacy_train(
