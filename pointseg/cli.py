@@ -135,8 +135,10 @@ def cmd_train(args) -> int:
     if args.data_parallel:
         # SPMD data parallelism: batch axis sharded over all devices,
         # params replicated; XLA inserts the grad all-reduce. Single
-        # chip is the degenerate 1-device mesh.
-        from pointseg.parallel import create_mesh, shard_state
+        # chip is the degenerate 1-device mesh. Batches must actually be
+        # device_put with the batch sharding — sharding only the state
+        # would leave every device processing the full batch.
+        from pointseg.parallel import create_mesh, shard_batch, shard_state
 
         mesh = create_mesh()
         state = shard_state(mesh, state)
@@ -146,6 +148,20 @@ def cmd_train(args) -> int:
                 f"--data-parallel needs train batch size divisible by "
                 f"{n} devices, got {args.train_batch_size}"
             )
+
+        class _ShardedLoader:
+            def __init__(self, loader):
+                self._loader = loader
+
+            def __len__(self):
+                return len(self._loader)
+
+            def __iter__(self):
+                for batch in self._loader:
+                    yield shard_batch(mesh, batch)
+
+        # eval runs with the replicated params and unsharded batches
+        train_loader = _ShardedLoader(train_loader)
         print(f"Data-parallel over {n} device(s).")
 
     config = {k: v for k, v in vars(args).items() if not callable(v) and k != "func"}
@@ -242,15 +258,22 @@ def cmd_evaluate(args) -> int:
             return model.apply(variables, points, train=False)
 
         # rooms carry 6 features (xyz+rgb); models trained on 9-feature
-        # blocks need the relative-coordinate augmentation
+        # blocks need the relative-coordinate augmentation. The window
+        # buffer is zero-padded, so min/max must be length-masked or the
+        # padding would drag the center toward the origin.
+        from pointseg.train.loss import length_mask
+
         def forward9(points, lengths):
             p = jnp.asarray(points)
+            m = length_mask(jnp.asarray(lengths), p.shape[1])[..., None]
+            big = jnp.float32(1e30)
+            vmin = jnp.min(jnp.where(m, p[..., :3], big), axis=1, keepdims=True)
+            vmax = jnp.max(jnp.where(m, p[..., :3], -big), axis=1, keepdims=True)
             center = jnp.concatenate(
                 [
-                    p[..., 0:1].min(axis=1, keepdims=True) + 0.5,
-                    p[..., 1:2].min(axis=1, keepdims=True) + 0.5,
-                    (p[..., 2:3].min(axis=1, keepdims=True)
-                     + p[..., 2:3].max(axis=1, keepdims=True)) / 2,
+                    vmin[..., 0:1] + 0.5,
+                    vmin[..., 1:2] + 0.5,
+                    (vmin[..., 2:3] + vmax[..., 2:3]) / 2,
                 ],
                 axis=-1,
             )

@@ -78,9 +78,11 @@ def ball_query(
     from pointseg.ops.dispatch import use_pallas
 
     if mask is None and use_pallas():
+        from pointseg.ops.pallas import pick_tile
         from pointseg.ops.pallas.ballquery import ball_query_pallas
 
-        return ball_query_pallas(centroids, coords, float(radius), K)
+        if pick_tile(centroids.shape[1], 256) is not None:
+            return ball_query_pallas(centroids, coords, float(radius), K)
 
     d2 = pairwise_sqdist(centroids, coords)  # (B, C, N)
     r2 = jnp.float32(radius) ** 2

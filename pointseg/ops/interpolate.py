@@ -38,9 +38,11 @@ def three_nn(
     from pointseg.ops.dispatch import use_pallas
 
     if src_mask is None and use_pallas():
+        from pointseg.ops.pallas import pick_tile
         from pointseg.ops.pallas.threenn import three_nn_pallas
 
-        return three_nn_pallas(coords_tgt, coords_src, k)
+        if pick_tile(coords_tgt.shape[1]) is not None:
+            return three_nn_pallas(coords_tgt, coords_src, k)
 
     d2 = pairwise_sqdist(coords_tgt, coords_src)  # (B, N, M)
     if src_mask is not None:

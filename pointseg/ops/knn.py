@@ -43,9 +43,11 @@ def knn_indices(
     from pointseg.ops.dispatch import use_pallas
 
     if mask is None and include_self and use_pallas():
+        from pointseg.ops.pallas import pick_tile
         from pointseg.ops.pallas.knn import knn_indices_pallas
 
-        return knn_indices_pallas(x, k)
+        if pick_tile(x.shape[1]) is not None:
+            return knn_indices_pallas(x, k)
 
     x = x.astype(jnp.float32)
     x2 = jnp.sum(x * x, axis=-1)  # (B, N)

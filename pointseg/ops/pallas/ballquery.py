@@ -71,7 +71,14 @@ def ball_query_pallas(
     B, C, _ = centroids.shape
     N = coords.shape[1]
     if C % tile != 0:
-        tile = max(t for t in (8, 16, 32, 64, 128, 256) if C % t == 0)
+        from pointseg.ops.pallas import pick_tile
+
+        tile = pick_tile(C, 256)
+        if tile is None:
+            raise ValueError(
+                f"no valid tile for C={C}; pad the point count to a "
+                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+            )
     # selection is non-differentiable; keep AD out of the kernel
     centroids = jax.lax.stop_gradient(centroids.astype(jnp.float32))
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))

@@ -64,7 +64,14 @@ def knn_indices_pallas(x: jax.Array, k: int, tile: int = 512) -> jax.Array:
     B, N, F = x.shape
     if N % tile != 0:
         # fall back to a tile that divides N
-        tile = max(t for t in (8, 16, 32, 64, 128, 256, 512) if N % t == 0)
+        from pointseg.ops.pallas import pick_tile
+
+        tile = pick_tile(N, 512)
+        if tile is None:
+            raise ValueError(
+                f"no valid tile for N={N}; pad the point count to a "
+                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+            )
     # selection is non-differentiable; keep AD out of the kernel
     x = jax.lax.stop_gradient(x.astype(jnp.float32))
 

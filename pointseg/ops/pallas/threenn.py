@@ -61,7 +61,14 @@ def three_nn_pallas(
     B, N, _ = coords_tgt.shape
     M = coords_src.shape[1]
     if N % tile != 0:
-        tile = max(t for t in (8, 16, 32, 64, 128, 256, 512) if N % t == 0)
+        from pointseg.ops.pallas import pick_tile
+
+        tile = pick_tile(N, 512)
+        if tile is None:
+            raise ValueError(
+                f"no valid tile for N={N}; pad the point count to a "
+                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+            )
     # selection is non-differentiable; keep AD out of the kernel
     coords_tgt = jax.lax.stop_gradient(coords_tgt.astype(jnp.float32))
     coords_src = jax.lax.stop_gradient(coords_src.astype(jnp.float32))

@@ -71,8 +71,9 @@ def train_epoch_with_progress(
                 f"| {format_memory_usage()}",
                 flush=True,
             )
+    # mean over processed batches (B==1 skips excluded; see legacy.py)
     total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
-    return state, total / max(batches, 1)
+    return state, total / max(len(losses), 1)
 
 
 def evaluate_with_progress(
@@ -103,7 +104,7 @@ def evaluate_with_progress(
     if batches == 0 or not losses:
         return None, None
     return (
-        float(jnp.sum(jnp.stack(losses))) / batches,
+        float(jnp.sum(jnp.stack(losses))) / len(losses),
         float(correct) / max(float(total), 1.0),
     )
 

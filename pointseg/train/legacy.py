@@ -115,8 +115,11 @@ def train_epoch(
             rng_key,
         )
         losses.append(metrics["loss"])  # device scalar; one sync per epoch
+    # mean over PROCESSED batches; the reference divides by the loader
+    # length including skipped B==1 batches (train_model.py:198), which
+    # understates the loss — deliberate fix
     total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
-    return state, total / max(batches, 1)
+    return state, total / max(len(losses), 1)
 
 
 def evaluate(
@@ -151,7 +154,7 @@ def evaluate(
     if batches == 0 or not losses:
         return None, None
     return (
-        float(jnp.sum(jnp.stack(losses))) / batches,
+        float(jnp.sum(jnp.stack(losses))) / len(losses),
         float(correct) / max(float(total), 1.0),
     )
 

@@ -63,11 +63,12 @@ def make_optimizer(
         )
     else:
         raise ValueError(f"unknown schedule '{schedule}'")
-    chain = []
     if grad_clip:
-        chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(optax.adam(lr))
-    return optax.chain(*chain)
+        return optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(lr))
+    # plain adam (no chain wrapper): keeps the opt_state pytree structure
+    # identical to the reference configuration so checkpoints stay
+    # compatible across option changes
+    return optax.adam(lr)
 
 
 def create_train_state(
