@@ -77,3 +77,30 @@ def test_kernels_are_gradient_opaque(rng):
     g = jax.grad(loss)(x)
     assert g.shape == x.shape
     assert bool(jnp.isfinite(g).all())
+
+
+def test_pick_tile():
+    from pointseg.ops.pallas import pick_tile
+
+    assert pick_tile(4096) == 512
+    assert pick_tile(1024, 256) == 256
+    assert pick_tile(48) == 48 and 48 % 8 == 0
+    assert pick_tile(1500) is None  # no multiple-of-8 divisor
+    assert pick_tile(7) is None
+
+
+def test_ops_fall_back_to_oracle_for_untileable_shapes(rng):
+    """N with no multiple-of-8 divisor must route to the JAX oracle
+    instead of crashing, even with Pallas dispatch forced on."""
+    set_use_pallas(True)
+    try:
+        x = jnp.asarray(rng.normal(size=(1, 30, 4)).astype(np.float32))
+        idx = ops.knn_indices(x, 3)  # N=30 -> oracle
+        assert idx.shape == (1, 30, 3)
+        coords = jnp.asarray(rng.normal(size=(1, 30, 3)).astype(np.float32))
+        i, _ = ops.ball_query(coords[:, :6], coords, 0.5, 4)  # C=6 -> oracle
+        assert i.shape == (1, 6, 4)
+        d2, i3 = ops.three_nn(coords, coords[:, :10])
+        assert i3.shape == (1, 30, 3)
+    finally:
+        set_use_pallas(None)
