@@ -223,8 +223,11 @@ def cmd_evaluate(args) -> int:
     from pointseg.data.datasets import create_block_dataloaders
     from pointseg.io.checkpoint import load_config, restore_train_state
     from pointseg.models import create_model
+    from pointseg.runtime import setup_runtime
     from pointseg.train.loop import evaluate
     from pointseg.train.state import create_train_state
+
+    setup_runtime()
 
     ckpt_dir = (
         args.model_path if os.path.isdir(args.model_path)
@@ -232,7 +235,9 @@ def cmd_evaluate(args) -> int:
     )
     config = load_config(ckpt_dir) or {}
     model_name = args.model or config.get("model", "PointNet++")
-    model = create_model(model_name, num_classes=NUM_S3DIS_CLASSES)
+    num_classes = args.num_classes
+    class_names = S3DIS_CLASSES[:num_classes]
+    model = create_model(model_name, num_classes=num_classes)
 
     sampling = args.sampling
     example = jnp.zeros((args.batch_size, sampling or 4096, 9), jnp.float32)
@@ -283,7 +288,7 @@ def cmd_evaluate(args) -> int:
         results = evaluate_rooms(
             forward9,
             loader,
-            S3DIS_CLASSES,
+            class_names,
             window_size=args.window_size,
             overlap=args.overlap,
         )
@@ -301,20 +306,20 @@ def cmd_evaluate(args) -> int:
         test_sampling=sampling,
         test_buckets=(1024, 2048, 4096, 8192, 16384, 32768, 65536),
     )
-    results = evaluate(state, test_loader, num_classes=NUM_S3DIS_CLASSES)
+    results = evaluate(state, test_loader, num_classes=num_classes)
 
     print("\n=== Evaluation results ===")
     print(f"Overall accuracy: {100.0 * results['accuracy']:.2f}%")
     print(f"Mean IoU:         {100.0 * results['mean_iou']:.2f}%")
     print("Per-class IoU:")
-    for name, iou in zip(S3DIS_CLASSES, results["ious"]):
+    for name, iou in zip(class_names, results["ious"]):
         print(f"  {name:<10s} {100.0 * float(iou):6.2f}%")
 
     if args.save_results:
         out = {
             "accuracy": results["accuracy"],
             "mean_iou": results["mean_iou"],
-            "ious": {n: float(v) for n, v in zip(S3DIS_CLASSES, results["ious"])},
+            "ious": {n: float(v) for n, v in zip(class_names, results["ious"])},
             "confusion": results["confusion"].tolist(),
         }
         with open(args.save_results, "w") as f:
@@ -326,6 +331,10 @@ def cmd_evaluate(args) -> int:
 def cmd_benchmark(args) -> int:
     import jax
     import jax.numpy as jnp
+
+    from pointseg.runtime import setup_runtime
+
+    setup_runtime()
 
     from pointseg.models import create_model
     from pointseg.train.state import create_train_state, train_step
@@ -395,6 +404,10 @@ def cmd_benchmark(args) -> int:
 def cmd_train_legacy(args) -> int:
     import jax.numpy as jnp
 
+    from pointseg.runtime import setup_runtime
+
+    setup_runtime()
+
     from pointseg.data.datasets import create_chunked_dataloaders
     from pointseg.models import create_model
     from pointseg.train.legacy import train_model as legacy_train
@@ -458,6 +471,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampling", type=int, default=None)
     p.add_argument("--test-areas", type=int, nargs="+", default=[6])
     p.add_argument("--save-results", default=None)
+    p.add_argument("--num-classes", type=int, default=14, choices=[13, 14],
+                   help="13 for legacy-stack checkpoints (reference "
+                        "models/dgcnn/evaluate.py is 13-class).")
     p.add_argument("--whole-rooms", action="store_true",
                    help="Whole-room sliding-window eval over chunked data.")
     p.add_argument("--window-size", type=int, default=4096)

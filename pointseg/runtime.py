@@ -18,8 +18,21 @@ import os
 
 
 def setup_runtime(cache_dir: str | None = None) -> None:
-    """Enables the persistent compile cache. Call before heavy jit use."""
+    """Enables the persistent compile cache and honors POINTSEG_PLATFORM.
+
+    POINTSEG_PLATFORM exists because the hosting environment pre-imports
+    jax with JAX_PLATFORMS pinned (the env var is latched before user
+    code runs, so setting it on the command line has no effect) — the
+    config update below is the only reliable platform override.
+    """
     import jax
+
+    platform = os.environ.get("POINTSEG_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass  # backend already initialized
 
     cache_dir = cache_dir or os.environ.get(
         "POINTSEG_COMPILE_CACHE", "/tmp/pointseg_compile_cache"

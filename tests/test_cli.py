@@ -8,7 +8,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,
+    # JAX_PLATFORMS alone is NOT enough: the hosting sitecustomize
+    # re-pins it before user code runs; POINTSEG_PLATFORM routes through
+    # jax.config.update in pointseg.runtime.setup_runtime.
     JAX_PLATFORMS="cpu",
+    POINTSEG_PLATFORM="cpu",
     XLA_FLAGS="--xla_force_host_platform_device_count=2",
     POINTSEG_COMPILE_CACHE="/tmp/jax_cache",
 )
@@ -47,7 +51,7 @@ def test_train_and_evaluate_roundtrip(tmp_path):
     out = _run([
         "train.py", "PointNet", "--synthetic", "--data-dir", data,
         "--epochs", "1", "--train-batch-size", "2", "--train-sampling", "128",
-        "--test-pad-to", "32768", "--log-interval", "5",
+        "--test-pad-to", "4096", "--log-interval", "5",
         "--log-dir", str(tmp_path / "runs"), "--model-dir", str(tmp_path / "ckpts"),
     ])
     assert out.returncode == 0, out.stderr[-2000:]

@@ -115,3 +115,10 @@ def test_dropout_active_in_train_mode(x):
     a, _ = model.apply(v, x, train=True, rngs=r1, mutable=["batch_stats"])
     b, _ = model.apply(v, x, train=True, rngs=r2, mutable=["batch_stats"])
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_dtype_returns_f32_logits(x):
+    model = create_model("PointNet", num_classes=C, dtype=jnp.bfloat16)
+    _, out = _init_and_apply(model, x)
+    assert out.dtype == jnp.float32  # logits always f32 for the loss
+    assert bool(jnp.isfinite(out).all())
