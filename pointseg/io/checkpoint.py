@@ -102,6 +102,30 @@ def restore_train_state(ckpt_dir_or_path: str, state):
         "opt_state": state.opt_state,
     }
     restored = load_checkpoint(path, target)
+    import jax  # noqa: PLC0415
+
+    # flax deserialization restores by tree structure only — validate
+    # leaf shapes so a wrong-architecture checkpoint fails HERE with a
+    # named path, not later inside a matmul
+    mismatches = []
+
+    def _check(path_parts, want, got):
+        ws = getattr(want, "shape", None)
+        gs = getattr(got, "shape", None)
+        if ws is not None and gs is not None and tuple(ws) != tuple(gs):
+            mismatches.append(f"{'/'.join(map(str, path_parts))}: {gs} vs model {ws}")
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, w, g: _check([k.key if hasattr(k, "key") else k for k in p], w, g),
+        state.params,
+        restored["params"],
+    )
+    if mismatches:
+        raise ValueError(
+            f"Checkpoint {path} does not match the model architecture:\n  "
+            + "\n  ".join(mismatches[:10])
+        )
+
     return state.replace(
         step=jnp.asarray(restored["step"], jnp.int32),
         params=restored["params"],
