@@ -4,4 +4,6 @@ from pointseg.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     shard_state,
+    shard_state_tp,
+    tensor_parallel_sharding,
 )

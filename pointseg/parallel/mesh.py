@@ -62,3 +62,41 @@ def shard_state(mesh: Mesh, state: Any) -> Any:
     replicated, grads all-reduced by XLA)."""
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), state)
+
+
+def tensor_parallel_sharding(
+    mesh: Mesh, x: Any, axis: str = "model", min_size: int = 128
+) -> NamedSharding:
+    """Output-channel sharding for one weight array: the last dimension
+    splits over `axis` when divisible and wide enough; everything else
+    replicates. With GSPMD this is column-parallel tensor parallelism —
+    XLA inserts the all-gathers/reduces the consumers need."""
+    shape = getattr(x, "shape", ())
+    if (
+        len(shape) >= 2
+        and axis in mesh.axis_names
+        and shape[-1] >= min_size
+        and shape[-1] % mesh.shape[axis] == 0
+    ):
+        return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), axis))
+    return NamedSharding(mesh, P())
+
+
+def shard_state_tp(
+    mesh: Mesh, state: Any, axis: str = "model", min_size: int = 128
+) -> Any:
+    """DP+TP state placement: wide weight matrices (and their optimizer
+    moments, which share shapes) split their output channels over the
+    `axis` mesh dimension; small arrays replicate. The reference has no
+    model parallelism (SURVEY.md §2) — this is the optional TP axis its
+    rebuild plan reserves."""
+
+    def put(x):
+        return jax.device_put(x, tensor_parallel_sharding(mesh, x, axis, min_size))
+
+    return state.replace(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.tree.map(put, state.params),
+        batch_stats=jax.tree.map(put, state.batch_stats),
+        opt_state=jax.tree.map(put, state.opt_state),
+    )

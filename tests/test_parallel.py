@@ -74,3 +74,42 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_tp_matches_replicated(rng):
+    """DPxTP (wide weights column-sharded over the model axis) must give
+    the same result as fully replicated — GSPMD TP is semantics-
+    preserving."""
+    from pointseg.parallel import create_mesh, shard_batch, shard_state, shard_state_tp
+
+    model = PointNetSeg(num_classes=C)
+    batch_np = _batch(rng, 8, 64)
+
+    def run(tp):
+        mesh = create_mesh(
+            jax.devices()[:8], axes=("data", "model"), shape=(8 // tp, tp)
+        )
+        state = create_train_state(model, jnp.zeros((8, 64, 9)), seed=0)
+        state = shard_state_tp(mesh, state) if tp > 1 else shard_state(mesh, state)
+        batch = shard_batch(mesh, batch_np)
+        state, m = train_step(state, *batch, jax.random.key(0))
+        return float(m["loss"]), np.asarray(jax.tree.leaves(state.params)[0])
+
+    loss_rep, p_rep = run(1)
+    loss_tp, p_tp = run(2)
+    assert abs(loss_rep - loss_tp) < 1e-4
+    np.testing.assert_allclose(p_rep, p_tp, atol=1e-5)
+
+
+def test_tensor_parallel_sharding_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from pointseg.parallel import create_mesh, tensor_parallel_sharding
+
+    mesh = create_mesh(jax.devices()[:8], axes=("data", "model"), shape=(4, 2))
+    wide = jnp.zeros((64, 256))
+    narrow = jnp.zeros((64, 14))  # not divisible-friendly / too small
+    vec = jnp.zeros((256,))
+    assert tensor_parallel_sharding(mesh, wide).spec == P(None, "model")
+    assert tensor_parallel_sharding(mesh, narrow).spec == P()
+    assert tensor_parallel_sharding(mesh, vec).spec == P()
