@@ -65,6 +65,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="Shard the batch over all devices (SPMD DP).")
     p.add_argument("--profile", default=None,
                    help="Capture a jax.profiler trace of the first train steps to this dir.")
+    p.add_argument("--save-confusion", action="store_true",
+                   help="Render a per-epoch confusion-matrix heatmap into the log dir.")
 
 
 def cmd_train(args) -> int:
@@ -183,6 +185,8 @@ def cmd_train(args) -> int:
             num_classes=NUM_S3DIS_CLASSES,
             ckpt_dir=ckpt_dir,
             config=config,
+            confusion_dir=os.path.join(log_path, "confusion")
+            if args.save_confusion else None,
         )
     except Exception as e:
         if is_oom_error(e):

@@ -119,6 +119,7 @@ def train_model(
     ckpt_every_epochs: int = 1,
     config: dict | None = None,
     verbose: bool = True,
+    confusion_dir: str | None = None,
 ) -> tuple[TrainState, dict]:
     """Full training run (reference training.py:135-180).
 
@@ -167,6 +168,22 @@ def train_model(
         records["val_acc"].append(ev["accuracy"])
         records["val_miou"].append(ev["mean_iou"])
         records["epoch_times"].append(dt)
+
+        if confusion_dir is not None:
+            # per-epoch confusion heatmap — the reference wires this but
+            # leaves it commented out (training.py:176)
+            try:
+                import os
+
+                from pointseg.utils.visualize import plot_confusion_matrix
+
+                os.makedirs(confusion_dir, exist_ok=True)
+                plot_confusion_matrix(
+                    ev["confusion"],
+                    os.path.join(confusion_dir, f"confusion_epoch_{epoch + 1}.png"),
+                )
+            except ImportError:
+                pass  # matplotlib not installed
 
         if ckpt_dir is not None and (epoch + 1) % ckpt_every_epochs == 0:
             save_checkpoint(ckpt_dir, state, config=config)

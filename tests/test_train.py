@@ -184,3 +184,21 @@ def test_make_optimizer_variants():
         assert jnp.isfinite(updates["w"]).all()
     with pytest.raises(ValueError, match="unknown schedule"):
         make_optimizer(1e-3, schedule="nope")
+
+
+def test_confusion_dir_renders_per_epoch(block_dir, tmp_path):
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        pytest.skip("matplotlib not installed")
+    train_loader, test_loader = create_block_dataloaders(
+        block_dir, test_areas={6}, train_batch_size=4, test_batch_size=4,
+        train_sampling=128, test_pad_to=1024,
+    )
+    model = PointNetSeg(num_classes=C)
+    state = create_train_state(model, jnp.zeros((4, 128, 9)))
+    state, _ = train_model(
+        state, train_loader, test_loader, num_epochs=1, verbose=False,
+        confusion_dir=str(tmp_path / "conf"),
+    )
+    assert (tmp_path / "conf" / "confusion_epoch_1.png").exists()
