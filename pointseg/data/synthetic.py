@@ -1,0 +1,123 @@
+"""Synthetic S3DIS-like data generators.
+
+The reference ships a `test_data/` excerpt (gitignored, absent here) and
+a `TmpDataset` random fixture (models/PointNeXt/PointNeXt.py:152-164).
+These generators fill both roles: structured fake rooms with learnable
+geometry/label correlation (floor points are low, ceiling points are
+high, ...) for tests and benchmarks that need the full pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pointseg.data.blocks import preprocess_dataset
+from pointseg.data.prepare import precompute_chunk_index, save_room_archive
+from pointseg.data.s3dis import S3DIS_CLASSES
+
+
+def make_room(
+    rng: np.random.Generator,
+    num_points: int = 2000,
+    size_xy: float = 3.0,
+    height: float = 2.5,
+    num_classes: int = 14,
+) -> dict:
+    """One fake room: xyz uniform in a box, rgb in [0, 255], labels a
+    deterministic function of height (ceiling / floor / two wall bands)
+    so models can verifiably learn the task in a few steps."""
+    xyz = rng.uniform(0, 1, size=(num_points, 3)).astype(np.float32)
+    xyz[:, :2] *= size_xy
+    xyz[:, 2] *= height
+    rgb = rng.uniform(0, 255, size=(num_points, 3)).astype(np.float32)
+    z = xyz[:, 2] / height
+    labels = np.select(
+        [z > 0.9, z < 0.1, z < 0.5],
+        [0, 1, 2],  # ceiling, floor, lower wall
+        default=3,  # upper wall
+    ).astype(np.int32)
+    return {"points": np.concatenate([xyz, rgb], axis=1), "labels": labels}
+
+
+def make_area_dataset(
+    out_dir: str,
+    areas: tuple[int, ...] = (1, 2, 3, 4, 5, 6),
+    rooms_per_area: int = 2,
+    points_per_room: int = 2000,
+    seed: int = 0,
+) -> str:
+    """Writes synthetic per-area archives `s3dis{a}.npz` (the monolithic
+    room-dataset format, reference datasets.py)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for a in areas:
+        rooms = [make_room(rng, points_per_room) for _ in range(rooms_per_area)]
+        save_room_archive(
+            os.path.join(out_dir, f"s3dis{a}.npz"), rooms, S3DIS_CLASSES
+        )
+    return out_dir
+
+
+def make_chunked_dataset(
+    out_dir: str,
+    areas: tuple[int, ...] = (1, 2, 3, 4, 5, 6),
+    rooms_per_area: int = 2,
+    chunks_per_area: int = 1,
+    points_per_room: int = 2000,
+    seed: int = 0,
+    with_index: bool = True,
+) -> str:
+    """Writes synthetic chunk archives `s3dis{a}_chunk{c}.npz`."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for a in areas:
+        per = max(1, rooms_per_area // chunks_per_area)
+        for c in range(1, chunks_per_area + 1):
+            rooms = [make_room(rng, points_per_room) for _ in range(per)]
+            save_room_archive(
+                os.path.join(out_dir, f"s3dis{a}_chunk{c}.npz"),
+                rooms,
+                S3DIS_CLASSES,
+            )
+    if with_index:
+        precompute_chunk_index(out_dir, force_recompute=True, verbose=False)
+    return out_dir
+
+
+def make_block_dataset(
+    out_dir: str,
+    areas: tuple[int, ...] = (1, 2, 3, 4, 5, 6),
+    rooms_per_area: int = 2,
+    points_per_room: int = 2000,
+    seed: int = 0,
+) -> str:
+    """Synthetic chunk archives run through the real block preprocessor."""
+    chunk_dir = os.path.join(out_dir, "_chunked")
+    make_chunked_dataset(
+        chunk_dir,
+        areas=areas,
+        rooms_per_area=rooms_per_area,
+        points_per_room=points_per_room,
+        seed=seed,
+        with_index=False,
+    )
+    preprocess_dataset(chunk_dir, out_dir, verbose=False)
+    return out_dir
+
+
+def random_batch(
+    rng: np.random.Generator,
+    batch_size: int = 8,
+    num_points: int = 4096,
+    num_classes: int = 14,
+    feature_dim: int = 9,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """TmpDataset-style random padded batch (points, onehot labels,
+    lengths) — the benchmark input."""
+    points = rng.normal(size=(batch_size, num_points, feature_dim)).astype(np.float32)
+    codes = rng.integers(0, num_classes, size=(batch_size, num_points))
+    labels = np.eye(num_classes, dtype=np.uint8)[codes]
+    lengths = np.full((batch_size,), num_points, np.int32)
+    return points, labels, lengths
