@@ -4,3 +4,7 @@ from pointseg.io.checkpoint import (  # noqa: F401
     restore_train_state,
     latest_checkpoint,
 )
+from pointseg.io.torch_import import (  # noqa: F401
+    from_torch_state_dict,
+    load_torch_checkpoint,
+)

@@ -202,6 +202,133 @@ def test_knn_matches_reference(rng):
             assert set(got[b, n].tolist()) == set(want[b, n].tolist())
 
 
+# ------------------------- transferred-weights forward equivalence
+#
+# The strongest offline accuracy-parity proof: the reference model's
+# actual torch weights are imported into the flax models
+# (pointseg/io/torch_import.py) and the two frameworks' forward passes
+# are compared on identical inputs in eval mode. Passing means the flax
+# model computes the same *function*, not just the same architecture.
+#
+# Controlled nondeterminism:
+# - FPS start: the reference draws torch.randint per SetAbstraction
+#   (common.py:22); we patch it to 0, which is also this framework's
+#   deterministic eval-mode start (pointseg/ops/fps.py:70).
+# - Ball-query filler identity: when a ball holds fewer than K points,
+#   which out-of-radius points pad the region is unspecified in BOTH
+#   implementations (heap order vs index order). The test cloud is
+#   scaled so every pairwise distance is below the smallest stage
+#   radius, so every ball is full and no fillers exist.
+
+from unittest import mock  # noqa: E402
+
+from pointseg.io.torch_import import from_torch_state_dict  # noqa: E402
+
+
+def _randomize_bn(model, gen):
+    """Perturb BN affine + running stats away from their (1,0,0,1)
+    defaults so the stat transfer is actually exercised."""
+    for m in model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.weight.uniform_(0.8, 1.2, generator=gen)
+                m.bias.uniform_(-0.1, 0.1, generator=gen)
+                m.running_mean.uniform_(-0.05, 0.05, generator=gen)
+                m.running_var.uniform_(0.9, 1.1, generator=gen)
+
+
+def _tiny_cloud(rng, B, N, span=0.03):
+    """(B, N, 9) blocks whose xyz all fit inside every stage radius."""
+    pts = np.zeros((B, N, 9), np.float32)
+    pts[..., :3] = rng.random((B, N, 3)) * span
+    pts[..., 3:] = rng.random((B, N, 6))
+    return pts
+
+
+def _import_and_run(model, model_name, ref, x):
+    variables = model.init({"params": jax.random.key(0)}, jnp.array(x), train=False)
+    variables = from_torch_state_dict(model_name, ref.state_dict(), variables)
+    return np.asarray(model.apply(variables, jnp.array(x), train=False))
+
+
+def _zero_randint(low, high, size, **kw):
+    kw.pop("device", None)
+    return torch.zeros(size, **kw)
+
+
+def test_pointnet_transferred_weights_forward(rng):
+    from models.PointNet.PointNet import PointNetSeg as Ref
+
+    from pointseg.models import PointNetSeg
+
+    torch.manual_seed(7)
+    ref = Ref(part_classes=14)
+    _randomize_bn(ref, torch.Generator().manual_seed(1))
+    ref.eval()
+
+    x = rng.normal(size=(2, 128, 9)).astype(np.float32)
+    logits = _import_and_run(PointNetSeg(num_classes=14), "PointNet", ref, x)
+    # the reference returns hand-rolled softmax probabilities
+    # (PointNet.py:147-150); ours returns logits — compare in prob space
+    got = np.asarray(jax.nn.softmax(logits, axis=-1))
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pointnetpp_transferred_weights_forward(rng):
+    from models.PointNetpp.PointNetpp import PointNetpp as Ref
+
+    from pointseg.models import PointNetPP
+
+    torch.manual_seed(11)
+    ref = Ref(part_classes=14)
+    _randomize_bn(ref, torch.Generator().manual_seed(2))
+    ref.eval()
+
+    x = _tiny_cloud(rng, 2, 1024)
+    got = _import_and_run(PointNetPP(num_classes=14), "PointNet++", ref, x)
+    with mock.patch("torch.randint", _zero_randint), torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_pointnext_transferred_weights_forward(rng):
+    from models.PointNeXt.PointNeXt import PointNeXt as Ref
+
+    from pointseg.models import PointNeXt
+
+    torch.manual_seed(13)
+    ref = Ref(part_classes=14)
+    _randomize_bn(ref, torch.Generator().manual_seed(3))
+    ref.eval()
+
+    x = _tiny_cloud(rng, 2, 1024)
+    got = _import_and_run(PointNeXt(num_classes=14), "PointNeXt", ref, x)
+    with mock.patch("torch.randint", _zero_randint), torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_dgcnn_transferred_weights_forward(rng):
+    from models.dgcnn.dgcnn import DGCNNWithColor as Ref
+
+    from pointseg.models import DGCNNWithColor
+
+    torch.manual_seed(17)
+    ref = Ref(num_classes=14, k=8, emb_dims=128)
+    _randomize_bn(ref, torch.Generator().manual_seed(4))
+    ref.eval()
+
+    x = rng.normal(size=(2, 256, 9)).astype(np.float32)
+    got = _import_and_run(
+        DGCNNWithColor(num_classes=14, k=8, emb_dims=128), "DeepGraphCnn", ref, x
+    )
+    with torch.no_grad():
+        want = ref(torch.tensor(np.swapaxes(x[..., :6], 1, 2)))[0].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 # --------------------------------------------------- model param parity
 
 def _torch_param_count(model):
