@@ -12,6 +12,13 @@ Adam), measured once on this machine via /tmp-style harness (see
 tools/measure_reference_baseline.py): REFERENCE_CPU_POINTS_PER_SEC.
 The driver's north star is >=10x this number (BASELINE.json:5).
 
+Defensive against relay failure (round-1 postmortem, VERDICT.md weak#1):
+the axon PJRT client can HANG forever inside backend init when the
+remote grant is wedged, so device discovery runs on a watchdogged
+daemon thread. On timeout or error the script still prints its one JSON
+line — with an "error" field naming the failure — and exits nonzero,
+instead of stalling the driver.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -19,7 +26,11 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
+import traceback
 
 import numpy as np
 
@@ -28,64 +39,114 @@ import numpy as np
 # mean step 10.49s over 3 runs -> 3124 points/sec.
 REFERENCE_CPU_POINTS_PER_SEC = 3124.0
 
+METRIC = "s3dis_train_points_per_sec_per_chip"
+INIT_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "180"))
 
-def main() -> None:
+
+def _emit(value: float, vs_baseline: float, error: str | None = None) -> None:
+    rec = {
+        "metric": METRIC,
+        "value": round(value, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(vs_baseline, 2),
+    }
+    if error:
+        rec["error"] = error
+    print(json.dumps(rec), flush=True)
+
+
+def _discover_devices_with_watchdog():
+    """jax.devices() on a daemon thread; None on timeout (hung relay)."""
     import jax
-    import jax.numpy as jnp
 
-    from pointseg.models import PointNetPP
-    from pointseg.runtime import setup_runtime
-    from pointseg.train.state import create_train_state, train_step
+    result: dict = {}
 
-    setup_runtime()
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            result["error"] = f"{type(e).__name__}: {e}"
 
-    B, N, C = 8, 4096, 14
-    rng = np.random.default_rng(0)
-    points = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
-    labels = jnp.asarray(
-        np.eye(C, dtype=np.uint8)[rng.integers(0, C, size=(B, N))]
-    )
-    lengths = jnp.full((B,), N, jnp.int32)
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(INIT_TIMEOUT_S)
+    if t.is_alive():
+        return None, (
+            f"backend init hung >{INIT_TIMEOUT_S:.0f}s inside jax.devices() — "
+            "the axon relay grant is likely wedged (see CLAUDE.md 'Relay "
+            "failure mode'). Check for orphaned TPU-holding processes "
+            "(ps aux | grep python) and retry."
+        )
+    if "error" in result:
+        return None, f"backend init failed: {result['error']}"
+    return result["devices"], None
 
-    model = PointNetPP(num_classes=C)
-    state = create_train_state(model, points, 1e-3)
-    key = jax.random.key(0)
 
-    # NB: under the axon relay, block_until_ready returns before the
-    # computation finishes; a host device_get of a scalar is the only
-    # reliable synchronization point. Chained steps + one final fetch.
-    def sync(x):
-        jax.device_get(x.ravel()[0])
+def main() -> int:
+    try:
+        import jax
+        import jax.numpy as jnp
+    except Exception:  # noqa: BLE001
+        _emit(0.0, 0.0, "jax import failed:\n" + traceback.format_exc())
+        return 1
 
-    # warmup (compile + a few steps)
-    for _ in range(5):
-        state, m = train_step(state, points, labels, lengths, key)
-    sync(m["loss"])
+    devices, err = _discover_devices_with_watchdog()
+    if devices is None:
+        _emit(0.0, 0.0, err)
+        # The hung thread can't be cancelled; hard-exit so the driver
+        # gets the rc instead of waiting on a non-daemon teardown.
+        sys.stdout.flush()
+        os._exit(1)
 
-    # relay throughput varies run to run; report the median of several
-    # chained-chunk measurements
-    chunk, n_chunks = 10, 6
-    per_chunk = []
-    for _ in range(n_chunks):
-        t0 = time.perf_counter()
-        for _ in range(chunk):
+    try:
+        from pointseg.models import PointNetPP
+        from pointseg.runtime import setup_runtime
+        from pointseg.train.state import create_train_state, train_step
+
+        setup_runtime()
+
+        B, N, C = 8, 4096, 14
+        rng = np.random.default_rng(0)
+        points = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+        labels = jnp.asarray(
+            np.eye(C, dtype=np.uint8)[rng.integers(0, C, size=(B, N))]
+        )
+        lengths = jnp.full((B,), N, jnp.int32)
+
+        model = PointNetPP(num_classes=C)
+        state = create_train_state(model, points, 1e-3)
+        key = jax.random.key(0)
+
+        # NB: under the axon relay, block_until_ready returns before the
+        # computation finishes; a host device_get of a scalar is the only
+        # reliable synchronization point. Chained steps + one final fetch.
+        def sync(x):
+            jax.device_get(x.ravel()[0])
+
+        # warmup (compile + a few steps)
+        for _ in range(5):
             state, m = train_step(state, points, labels, lengths, key)
         sync(m["loss"])
-        per_chunk.append((time.perf_counter() - t0) / chunk)
-    dt = float(np.median(per_chunk))
 
-    pps = B * N / dt
-    print(
-        json.dumps(
-            {
-                "metric": "s3dis_train_points_per_sec_per_chip",
-                "value": round(pps, 1),
-                "unit": "points/sec",
-                "vs_baseline": round(pps / REFERENCE_CPU_POINTS_PER_SEC, 2),
-            }
-        )
-    )
+        # relay throughput varies run to run; report the median of several
+        # chained-chunk measurements
+        chunk, n_chunks = 10, 6
+        per_chunk = []
+        for _ in range(n_chunks):
+            t0 = time.perf_counter()
+            for _ in range(chunk):
+                state, m = train_step(state, points, labels, lengths, key)
+            sync(m["loss"])
+            per_chunk.append((time.perf_counter() - t0) / chunk)
+        dt = float(np.median(per_chunk))
+
+        pps = B * N / dt
+        _emit(pps, pps / REFERENCE_CPU_POINTS_PER_SEC)
+        return 0
+    except Exception:  # noqa: BLE001
+        _emit(0.0, 0.0, "benchmark failed:\n" + traceback.format_exc())
+        return 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Compiled-kernel attestation on the real TPU chip.
+
+Runs every Pallas kernel (compiled Mosaic, NOT interpret mode) against
+its pure-JAX oracle on the same chip and writes a machine-checkable
+results JSON. This is the third-party-verifiable artifact that the CPU
+test suite cannot produce (tests/test_pallas.py runs interpret mode;
+VERDICT.md round-1 weak#7).
+
+Usage:
+    python tools/verify_tpu.py [--out VERIFY_TPU.json]
+
+Exit code 0 iff every check passes. Uses the same hung-relay watchdog as
+bench.py. Each check compares:
+  - fps:        index sequences, exact equality
+  - ball_query: index sets + in_ball flags (in-ball selections exact;
+                filler slots compared as counts, semantics unspecified)
+  - knn:        neighbor index sets, exact equality
+  - three_nn:   indices exact + distances to 1e-5
+plus forward logits of PointNet++ (the composed model) Pallas-vs-oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import traceback
+
+import numpy as np
+
+INIT_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "180"))
+
+
+def _watchdog_devices():
+    import jax
+
+    res: dict = {}
+
+    def probe():
+        try:
+            res["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            res["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(INIT_TIMEOUT_S)
+    if t.is_alive():
+        return None, f"jax.devices() hung >{INIT_TIMEOUT_S:.0f}s (wedged relay?)"
+    if "error" in res:
+        return None, res["error"]
+    return res["devices"], None
+
+
+def _run_checks():
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg import ops
+    from pointseg.ops.dispatch import set_use_pallas
+
+    rng = np.random.default_rng(42)
+    checks = []
+
+    def both(fn):
+        """Run fn twice — compiled Pallas then pure-JAX oracle."""
+        set_use_pallas(True)
+        try:
+            got = jax.tree.map(np.asarray, fn())
+        finally:
+            set_use_pallas(None)
+        set_use_pallas(False)
+        try:
+            want = jax.tree.map(np.asarray, fn())
+        finally:
+            set_use_pallas(None)
+        return got, want
+
+    def record(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+            checks.append({"check": name, "ok": True,
+                           "seconds": round(time.perf_counter() - t0, 2)})
+        except Exception as e:  # noqa: BLE001
+            checks.append({
+                "check": name, "ok": False,
+                "seconds": round(time.perf_counter() - t0, 2),
+                "error": f"{type(e).__name__}: {e}",
+            })
+
+    B, N, C, K = 8, 4096, 1024, 32
+    coords = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+
+    def check_fps():
+        got, want = both(lambda: ops.farthest_point_sampling(coords, C))
+        np.testing.assert_array_equal(got, want)
+
+    def check_ballquery():
+        cents = coords[:, :C] * 0.2
+        got, want = both(lambda: ops.ball_query(cents, coords * 0.2, 0.2, K))
+        gi, gb = got
+        wi, wb = want
+        np.testing.assert_array_equal(gb, wb)  # identical in-ball flags
+        # in-ball selections must be identical sets per ball
+        for b in range(0, B, 4):
+            for c in range(0, C, 97):
+                assert (set(gi[b, c][gb[b, c]]) == set(wi[b, c][wb[b, c]])), (
+                    f"in-ball set mismatch at {b},{c}"
+                )
+
+    def check_knn():
+        x = jnp.asarray(rng.normal(size=(4, 1024, 9)).astype(np.float32))
+        got, want = both(lambda: ops.knn_indices(x, 20))
+        got_s, want_s = np.sort(got, -1), np.sort(want, -1)
+        np.testing.assert_array_equal(got_s, want_s)
+
+    def check_three_nn():
+        tgt = coords[:4, :1024]
+        src = jnp.asarray(rng.normal(size=(4, 256, 3)).astype(np.float32))
+        got, want = both(lambda: ops.three_nn(tgt, src))
+        gd, gi = got
+        wd, wi = want
+        np.testing.assert_array_equal(gi, wi)
+        np.testing.assert_allclose(gd, wd, atol=1e-5)
+
+    def check_model_forward():
+        from pointseg.models import PointNetPP
+
+        x = jnp.asarray(rng.normal(size=(2, 1024, 9)).astype(np.float32))
+        model = PointNetPP(num_classes=14)
+
+        def fwd():
+            variables = model.init({"params": jax.random.key(0)}, x, train=False)
+            return model.apply(variables, x, train=False)
+
+        got, want = both(fwd)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    record("fps_compiled_vs_oracle", check_fps)
+    record("ballquery_compiled_vs_oracle", check_ballquery)
+    record("knn_compiled_vs_oracle", check_knn)
+    record("three_nn_compiled_vs_oracle", check_three_nn)
+    record("pointnetpp_forward_compiled_vs_oracle", check_model_forward)
+    return checks
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="VERIFY_TPU.json")
+    args = ap.parse_args()
+
+    result = {
+        "tool": "tools/verify_tpu.py",
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+
+    devices, err = _watchdog_devices()
+    if devices is None:
+        result.update({"ok": False, "error": err, "checks": []})
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        sys.stdout.flush()
+        os._exit(1)
+
+    result["device"] = str(devices[0])
+    result["platform"] = devices[0].platform
+    try:
+        checks = _run_checks()
+        result["checks"] = checks
+        result["ok"] = all(c["ok"] for c in checks)
+    except Exception:  # noqa: BLE001
+        result["ok"] = False
+        result["error"] = traceback.format_exc()
+        result.setdefault("checks", [])
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: result[k] for k in ("ok", "device") if k in result}))
+    for c in result["checks"]:
+        print(f"  {'PASS' if c['ok'] else 'FAIL'} {c['check']} ({c['seconds']}s)"
+              + ("" if c["ok"] else f" — {c['error']}"))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
