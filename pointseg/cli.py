@@ -262,16 +262,16 @@ def cmd_evaluate(args) -> int:
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-        @jax.jit
-        def forward(points, lengths):
-            return model.apply(variables, points, train=False)
-
         # rooms carry 6 features (xyz+rgb); models trained on 9-feature
         # blocks need the relative-coordinate augmentation. The window
         # buffer is zero-padded, so min/max must be length-masked or the
-        # padding would drag the center toward the origin.
+        # padding would drag the center toward the origin. The whole
+        # pipeline (augment + model) is one jitted program per window
+        # shape — un-jitted eager ops are pathologically slow on the
+        # relayed TPU runtime (ADVICE.md round 1).
         from pointseg.train.loss import length_mask
 
+        @jax.jit
         def forward9(points, lengths):
             p = jnp.asarray(points)
             m = length_mask(jnp.asarray(lengths), p.shape[1])[..., None]
@@ -287,7 +287,7 @@ def cmd_evaluate(args) -> int:
                 axis=-1,
             )
             p9 = jnp.concatenate([p, p[..., :3] - center], axis=-1)
-            return forward(p9, lengths)
+            return model.apply(variables, p9, train=False)
 
         results = evaluate_rooms(
             forward9,
@@ -313,15 +313,23 @@ def cmd_evaluate(args) -> int:
     results = evaluate(state, test_loader, num_classes=num_classes)
 
     print("\n=== Evaluation results ===")
-    print(f"Overall accuracy: {100.0 * results['accuracy']:.2f}%")
-    print(f"Mean IoU:         {100.0 * results['mean_iou']:.2f}%")
-    print("Per-class IoU:")
-    for name, iou in zip(class_names, results["ious"]):
-        print(f"  {name:<10s} {100.0 * float(iou):6.2f}%")
+    print(f"Overall accuracy:    {100.0 * results['accuracy']:.2f}%")
+    print(f"Mean class accuracy: {100.0 * results['mean_class_accuracy']:.2f}%")
+    print(f"Mean IoU:            {100.0 * results['mean_iou']:.2f}%")
+    print("Per-class accuracy / IoU:")
+    for name, acc, iou in zip(
+        class_names, results["class_accuracies"], results["ious"]
+    ):
+        print(f"  {name:<10s} {100.0 * float(acc):6.2f}%  {100.0 * float(iou):6.2f}%")
 
     if args.save_results:
         out = {
             "accuracy": results["accuracy"],
+            "mean_class_accuracy": results["mean_class_accuracy"],
+            "class_accuracies": {
+                n: float(v)
+                for n, v in zip(class_names, results["class_accuracies"])
+            },
             "mean_iou": results["mean_iou"],
             "ious": {n: float(v) for n, v in zip(class_names, results["ious"])},
             "confusion": results["confusion"].tolist(),

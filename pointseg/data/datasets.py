@@ -35,7 +35,11 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
-from pointseg.data.prepare import INDEX_FILENAME, load_room_archive
+from pointseg.data.prepare import (
+    INDEX_FILENAME,
+    load_room_archive,
+    room_archive_len,
+)
 from pointseg.data.s3dis import NUM_S3DIS_CLASSES, POINT_FEATURE_DIM
 
 _BLOCK_RE = re.compile(r"room(\d+)_block(\d+)\.(npz|pt)$")
@@ -303,11 +307,10 @@ class RoomDataset:
                 counts = {int(k): int(v) for k, v in json.load(f).items()}
         else:
             for a in range(1, 7):
-                p = os.path.join(path, f"s3dis{a}.npz")
-                if not os.path.exists(p):
+                p = self._area_file(a)
+                if p is None:
                     continue
-                with np.load(p, allow_pickle=False) as z:
-                    counts[a] = int(z["num_rooms"])
+                counts[a] = room_archive_len(p)
             if use_cached_index:
                 with open(index_file, "w") as f:
                     json.dump(counts, f)
@@ -322,13 +325,22 @@ class RoomDataset:
             for a in set(a for a, _ in self.index_mapping):
                 self._load_area(a)
 
+    def _area_file(self, a: int) -> str | None:
+        """Per-area archive path: this framework's `.npz`, else a
+        reference-prepared `.pt` (data_processing/datasets.py:114-116)."""
+        for ext in (".npz", ".pt"):
+            p = os.path.join(self.path, f"s3dis{a}{ext}")
+            if os.path.exists(p):
+                return p
+        return None
+
     def _load_area(self, a: int) -> list[dict]:
         if a in self._cache:
             return self._cache[a]
         if self._last is not None and self._last[0] == a:
             return self._last[1]
         rooms, classes = load_room_archive(
-            os.path.join(self.path, f"s3dis{a}.npz")
+            self._area_file(a) or os.path.join(self.path, f"s3dis{a}.npz")
         )
         self._classes = classes
         if self.load_in_memory:
@@ -342,10 +354,13 @@ class RoomDataset:
     def classes(self) -> list[str]:
         if self._classes is None and self.index_mapping:
             a = self.index_mapping[0][0]
-            with np.load(
-                os.path.join(self.path, f"s3dis{a}.npz"), allow_pickle=False
-            ) as z:
-                self._classes = [str(c) for c in z["classes"]]
+            p = self._area_file(a)
+            if p is not None and p.endswith(".npz"):
+                # header-only read; .pt needs a full unpickle
+                with np.load(p, allow_pickle=False) as z:
+                    self._classes = [str(c) for c in z["classes"]]
+            else:
+                self._load_area(a)
         return self._classes or []
 
     def __len__(self) -> int:
@@ -355,7 +370,8 @@ class RoomDataset:
         a, r = self.index_mapping[idx]
         rooms = self._load_area(a)
         room = rooms[r]
-        classes = self.classes
+        # .pt rooms carry their own vocab (archives may differ)
+        classes = room.get("classes") or self.classes
         return {
             "x": room["points"].astype(np.float32),
             "y": [classes[c] for c in room["labels"]],
@@ -400,9 +416,23 @@ class ChunkedRoomDataset:
         self._classes: list[str] | None = None
 
         index_file = os.path.join(path, INDEX_FILENAME)
+        # the reference writes its chunk index as a pickle
+        # (chunked_datasets.py:55, precompute_chunk_index.py) — accept it
+        # so reference-prepared directories work unmodified
+        ref_index_file = os.path.join(path, "chunked_s3dis_index_mapping.pkl")
+        cached = None
         if os.path.exists(index_file):
             with open(index_file) as f:
                 cached = json.load(f)
+        elif os.path.exists(ref_index_file):
+            import pickle  # noqa: PLC0415
+
+            with open(ref_index_file, "rb") as f:
+                cached = pickle.load(f)
+            cached["chunk_files"] = [
+                str(name).replace("\\", "/") for name in cached["chunk_files"]
+            ]
+        if cached is not None:
             self.chunk_files = []
             remap = {}
             for i, name in enumerate(cached["chunk_files"]):
@@ -430,14 +460,15 @@ class ChunkedRoomDataset:
         for a in self.area_indices:
             names = sorted(
                 f for f in os.listdir(self.path)
-                if f.startswith(f"s3dis{a}_chunk") and f.endswith(".npz")
+                if f.startswith(f"s3dis{a}_chunk")
+                and (f.endswith(".npz") or f.endswith(".pt"))
             )
             self.chunk_files.extend(os.path.join(self.path, n) for n in names)
         self.index_mapping = []
         for ci, cf in enumerate(self.chunk_files):
-            with np.load(cf, allow_pickle=False) as z:
-                n = int(z["num_rooms"])
-            self.index_mapping.extend((ci, ri) for ri in range(n))
+            self.index_mapping.extend(
+                (ci, ri) for ri in range(room_archive_len(cf))
+            )
 
     def _load_chunk(self, ci: int) -> list[dict]:
         if ci in self._cache:
@@ -457,8 +488,12 @@ class ChunkedRoomDataset:
     @property
     def classes(self) -> list[str]:
         if self._classes is None and self.chunk_files:
-            with np.load(self.chunk_files[0], allow_pickle=False) as z:
-                self._classes = [str(c) for c in z["classes"]]
+            cf = self.chunk_files[0]
+            if cf.endswith(".npz"):
+                with np.load(cf, allow_pickle=False) as z:
+                    self._classes = [str(c) for c in z["classes"]]
+            else:
+                self._load_chunk(0)
         return self._classes or []
 
     def __len__(self) -> int:
@@ -471,7 +506,8 @@ class ChunkedRoomDataset:
         area = int(
             os.path.basename(self.chunk_files[ci]).split("_")[0].replace("s3dis", "")
         )
-        classes = self.classes
+        # .pt rooms carry their own vocab (archives may differ)
+        classes = room.get("classes") or self.classes
         return {
             "x": room["points"].astype(np.float32),
             "y": [classes[c] for c in room["labels"]],

@@ -70,6 +70,37 @@ def save_room_archive(path: str, rooms: list[dict], classes: list[str]) -> None:
 
 
 def load_room_archive(path: str) -> tuple[list[dict], list[str]]:
+    """Reads a room archive: this framework's `.npz` or a reference `.pt`.
+
+    Reference `.pt` area/chunk archives (data_processing/prepare_s3dis.py
+    output, consumed at datasets.py:104-123 / chunked_datasets.py:139-162)
+    are torch pickles of [{'x': (N,6) tensor-or-list, 'y': [str, ...]}].
+    String labels are interned against a per-archive vocabulary in
+    encounter order; each room carries its own 'classes' so mixed-vocab
+    archives stay self-consistent.
+    """
+    if path.endswith(".pt"):
+        import torch  # noqa: PLC0415 — optional, only for reference data
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        vocab: list[str] = []
+        index: dict[str, int] = {}
+        rooms = []
+        for room in raw:
+            x = room["x"]
+            points = (
+                x.numpy() if hasattr(x, "numpy") else np.asarray(x)
+            ).astype(np.float32)
+            labels = np.empty((len(room["y"]),), np.int32)
+            for i, name in enumerate(room["y"]):
+                name = str(name)
+                if name not in index:
+                    index[name] = len(vocab)
+                    vocab.append(name)
+                labels[i] = index[name]
+            rooms.append({"points": points, "labels": labels, "classes": vocab})
+        return rooms, vocab
+
     with np.load(path, allow_pickle=False) as z:
         n = int(z["num_rooms"])
         classes = [str(c) for c in z["classes"]]
@@ -78,6 +109,15 @@ def load_room_archive(path: str) -> tuple[list[dict], list[str]]:
             for i in range(n)
         ]
     return rooms, classes
+
+
+def room_archive_len(path: str) -> int:
+    """Number of rooms in an archive without materializing the points
+    (npz header read; `.pt` requires a full unpickle)."""
+    if path.endswith(".pt"):
+        return len(load_room_archive(path)[0])
+    with np.load(path, allow_pickle=False) as z:
+        return int(z["num_rooms"])
 
 
 def prepare_s3dis(

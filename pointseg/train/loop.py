@@ -97,12 +97,20 @@ def evaluate(
         confusion = confusion + out["confusion"]
 
     mean_iou, ious = M.iou_from_totals(inter, union)
+    # per-class recall + its mean, matching the reference's
+    # mean_class_accuracy (models/dgcnn/utils.py:199-208: classes with
+    # zero ground-truth points contribute 0.0 to the mean)
+    conf = np.asarray(confusion)
+    class_total = conf.sum(axis=1)
+    class_acc = np.where(class_total > 0, np.diag(conf) / np.maximum(class_total, 1), 0.0)
     return {
         "loss": float(jnp.mean(jnp.stack(losses))) if losses else 0.0,
         "accuracy": float(correct) / max(float(total), 1.0),
+        "mean_class_accuracy": float(class_acc.mean()) if len(class_acc) else 0.0,
+        "class_accuracies": class_acc,
         "mean_iou": float(mean_iou),
         "ious": np.asarray(ious),
-        "confusion": np.asarray(confusion),
+        "confusion": conf,
     }
 
 

@@ -9,6 +9,7 @@ from pointseg.data import synthetic
 from pointseg.data.datasets import (
     BlockDataset,
     ChunkedRoomDataset,
+    RoomDataset,
     Loader,
     collate_blocks,
     create_block_dataloaders,
@@ -225,3 +226,68 @@ def test_chunked_dataloaders_list_collate(chunk_dir):
     assert isinstance(batch["x"], list) and len(batch["x"]) == 2
     assert isinstance(batch["y"][0][0], str)
     assert len(train.dataset) == 10 and len(test.dataset) == 2
+
+
+# ---------------------- reference .pt room/chunk archive compatibility
+
+def _write_ref_pt_archive(path, n_rooms, rng, classes=("wall", "floor", "chair")):
+    """Reference-format room archive: torch pickle of {'x', 'y'} dicts
+    (reference data_processing/datasets.py:104-123)."""
+    torch = pytest.importorskip("torch")
+    rooms = []
+    for _ in range(n_rooms):
+        n = int(rng.integers(50, 80))
+        rooms.append({
+            "x": torch.tensor(rng.normal(size=(n, 6)).astype("float32")),
+            "y": [classes[int(c)] for c in rng.integers(0, len(classes), n)],
+        })
+    with open(path, "wb") as f:
+        torch.save(rooms, f)
+    return rooms
+
+
+def test_room_dataset_reads_reference_pt(tmp_path, rng):
+    d = tmp_path / "ptrooms"
+    d.mkdir()
+    rooms = _write_ref_pt_archive(d / "s3dis1.pt", 3, rng)
+    ds = RoomDataset(str(d), [1], use_cached_index=False)
+    assert len(ds) == 3
+    item = ds[1]
+    np.testing.assert_allclose(item["x"], rooms[1]["x"].numpy())
+    assert item["y"] == rooms[1]["y"]
+    assert item["area"] == 1
+
+
+def test_chunked_dataset_reads_reference_pt_with_pkl_index(tmp_path, rng):
+    import pickle
+
+    d = tmp_path / "ptchunks"
+    d.mkdir()
+    r1 = _write_ref_pt_archive(d / "s3dis1_chunk001.pt", 2, rng)
+    r2 = _write_ref_pt_archive(d / "s3dis2_chunk001.pt", 1, rng)
+    # the reference's precomputed pickle index (chunked_datasets.py:55)
+    with open(d / "chunked_s3dis_index_mapping.pkl", "wb") as f:
+        pickle.dump({
+            "chunk_files": ["some\\dir\\s3dis1_chunk001.pt",
+                            "some\\dir\\s3dis2_chunk001.pt"],
+            "index_mapping": [(0, 0), (0, 1), (1, 0)],
+        }, f)
+
+    ds = ChunkedRoomDataset(str(d))
+    assert len(ds) == 3
+    np.testing.assert_allclose(ds[1]["x"], r1[1]["x"].numpy())
+    assert ds[2]["y"] == r2[0]["y"]
+    assert ds[2]["area"] == 2
+
+    # area filter honors the pkl index remap
+    ds1 = ChunkedRoomDataset(str(d), [2])
+    assert len(ds1) == 1 and ds1[0]["area"] == 2
+
+
+def test_chunked_dataset_on_the_fly_pt(tmp_path, rng):
+    d = tmp_path / "ptfly"
+    d.mkdir()
+    _write_ref_pt_archive(d / "s3dis1_chunk001.pt", 2, rng)
+    ds = ChunkedRoomDataset(str(d), [1], require_index_file=False)
+    assert len(ds) == 2
+    assert isinstance(ds[0]["y"][0], str)
