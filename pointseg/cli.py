@@ -55,6 +55,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--test-pad-to", type=int, default=None,
                    help="Static pad size for unsampled test blocks.")
     p.add_argument("--test-areas", type=int, nargs="+", default=[6])
+    p.add_argument("--num-workers", type=int, default=4,
+                   help="Parallel host block readers (0 = serial).")
+    p.add_argument("--device-data", action="store_true",
+                   help="Keep the whole train split resident in HBM and "
+                        "sample blocks/points on device (zero per-step "
+                        "host I/O; with-replacement point sampling).")
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--log-dir", default="saved_runs")
     p.add_argument("--model-dir", default="saved_models")
@@ -109,7 +115,24 @@ def cmd_train(args) -> int:
         test_pad_to=args.test_pad_to,
         test_buckets=None if args.test_pad_to else (1024, 2048, 4096, 8192, 16384, 32768, 65536),
         seed=args.seed,
+        num_workers=args.num_workers,
     )
+    if args.device_data:
+        # Swap the host train loader for the on-HBM sampling path
+        # (pointseg/data/device.py); eval keeps the host loader — it
+        # needs whole blocks, not samples.
+        from pointseg.data.datasets import BlockDataset
+        from pointseg.data.device import DeviceBlockStore, DeviceEpochLoader
+
+        all_train_areas = {1, 2, 3, 4, 5, 6} - set(args.test_areas)
+        raw_ds = BlockDataset(args.data_dir, all_train_areas, sampling=None,
+                              seed=args.seed)
+        store = DeviceBlockStore.from_block_dataset(
+            raw_ds, num_workers=max(args.num_workers, 4))
+        print(f"Device-resident train split: {store.num_blocks} blocks, "
+              f"{store.nbytes / 1e6:.1f} MB on HBM.")
+        train_loader = DeviceEpochLoader(
+            store, args.train_batch_size, args.train_sampling, seed=args.seed)
     all_areas = {1, 2, 3, 4, 5, 6}
     print(
         f"Initialized train dataloader with areas {all_areas - set(args.test_areas)}, "

@@ -1,0 +1,193 @@
+"""Device-resident (on-HBM) block store with jitted batch sampling.
+
+The reference feeds training from a host-side torch DataLoader that
+re-reads and re-samples block files every epoch
+(data_processing/block_datasets.py:104-181). On TPU that host path is
+the wrong shape: each step needs ~8 blocks of fresh data, every block
+is an `np.load` + zlib inflate + H2D copy, and the relayed runtime adds
+a round trip on top. The TPU-native replacement keeps the ENTIRE
+training split resident in HBM and performs block choice + within-block
+point sampling + one-hot encoding inside the jitted step, so steady-
+state training does zero per-step host I/O.
+
+Layout: blocks are stored flat — `points (T, 9)` / `labels (T,)` with
+per-block `offsets (M,)` / `counts (M,)` — no padding waste, so HBM cost
+is exactly the dataset size (S3DIS total ≈ 273M points ≈ 10 GB f32;
+any area subset fits a 16 GB chip comfortably).
+
+Sampling semantics: the reference samples `randperm(n)[:k]` when a
+block has more than k points and `randint(0, n, k)` otherwise
+(block_datasets.py:119-128). The flat layout uses with-replacement
+`floor(u * n)` sampling for every block — identical in expectation to
+the reference's short-block branch and statistically indistinguishable
+from randperm at S3DIS scale (k=4096 from n≈10-40k); the host
+`BlockDataset` path keeps the exact reference semantics for anyone who
+needs bit-level parity.
+
+Epoch structure mirrors the reference loader: one device-side
+permutation of the block ids per epoch, consumed batch-by-batch; short
+final batches are filled with id −1 rows that come back with length 0
+(masked out of loss/metrics by the existing static-shape convention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointseg.data.s3dis import NUM_S3DIS_CLASSES
+
+
+@partial(jax.jit, static_argnames=("batch_size", "npoints", "num_classes"))
+def _sample_batch(
+    points: jax.Array,    # (T, F) flat point table
+    labels: jax.Array,    # (T,)  flat class ids
+    offsets: jax.Array,   # (M,)
+    counts: jax.Array,    # (M,)
+    order: jax.Array,     # (M_padded,) block ids, -1 = fill row
+    step: jax.Array,      # () int32 — batch index within the epoch
+    key: jax.Array,
+    *,
+    batch_size: int,
+    npoints: int,
+    num_classes: int,
+):
+    ids = jax.lax.dynamic_slice(order, (step * batch_size,), (batch_size,))
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+    off = jnp.take(offsets, safe, axis=0)          # (B,)
+    cnt = jnp.where(valid, jnp.take(counts, safe, axis=0), 0)
+
+    u = jax.random.uniform(key, (batch_size, npoints))
+    local = jnp.floor(u * cnt[:, None].astype(jnp.float32)).astype(jnp.int32)
+    local = jnp.clip(local, 0, jnp.maximum(cnt[:, None] - 1, 0))
+    rows = off[:, None] + local                    # (B, npoints)
+
+    pts = jnp.take(points, rows.reshape(-1), axis=0)
+    pts = pts.reshape(batch_size, npoints, points.shape[-1])
+    lab = jnp.take(labels, rows.reshape(-1), axis=0)
+    lab = lab.reshape(batch_size, npoints)
+    onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.uint8)
+    # fill rows carry zero labels + zero features + zero length
+    onehot = jnp.where(valid[:, None, None], onehot, 0)
+    pts = jnp.where(valid[:, None, None], pts, 0.0)
+    lengths = jnp.where(valid, npoints, 0).astype(jnp.int32)
+    return pts, onehot, lengths
+
+
+class DeviceBlockStore:
+    """The whole block split, resident in HBM, with jitted sampling."""
+
+    def __init__(
+        self,
+        points: np.ndarray | jax.Array,
+        labels: np.ndarray | jax.Array,
+        counts: np.ndarray | Sequence[int],
+        num_classes: int = NUM_S3DIS_CLASSES,
+        sharding=None,
+    ):
+        """Args:
+        points: (T, F) all block points, concatenated.
+        labels: (T,) integer class ids.
+        counts: (M,) points per block; offsets are the exclusive cumsum.
+        sharding: optional jax.sharding.Sharding for the flat tables
+            (default: the backend's default single-device placement).
+        """
+        counts = np.asarray(counts, np.int32)
+        offsets = np.zeros_like(counts)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+            else jax.device_put
+        self.points = put(jnp.asarray(points, jnp.float32))
+        self.labels = put(jnp.asarray(labels, jnp.uint8))
+        self.offsets = put(jnp.asarray(offsets))
+        self.counts = put(jnp.asarray(counts))
+        self.num_classes = num_classes
+
+    @classmethod
+    def from_block_dataset(cls, dataset, num_classes: int = NUM_S3DIS_CLASSES,
+                           num_workers: int = 8, sharding=None):
+        """Bulk-loads a `BlockDataset` (raw, unsampled blocks) once via a
+        thread pool and uploads the concatenation."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(dataset, "sampling", None) is not None:
+            raise ValueError(
+                "DeviceBlockStore wants raw blocks; construct the "
+                "BlockDataset with sampling=None (sampling runs on device)"
+            )
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            blocks = list(pool.map(dataset.__getitem__, range(len(dataset))))
+        pts = np.concatenate([p for p, _ in blocks], axis=0)
+        labs = np.concatenate([
+            # host blocks carry one-hot labels only in collate; dataset
+            # items are (points, class-id labels) or (points, onehot)
+            l.argmax(-1) if l.ndim == 2 else l for _, l in blocks
+        ]).astype(np.uint8)
+        counts = [p.shape[0] for p, _ in blocks]
+        return cls(pts, labs, counts, num_classes, sharding=sharding)
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.counts.shape[0])
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(x.size) * x.dtype.itemsize
+                   for x in (self.points, self.labels, self.offsets, self.counts))
+
+    def sample(self, order, step, key, batch_size: int, npoints: int):
+        """One (points, onehot, lengths) batch — entirely on device."""
+        return _sample_batch(
+            self.points, self.labels, self.offsets, self.counts,
+            order, jnp.asarray(step, jnp.int32), key,
+            batch_size=batch_size, npoints=npoints,
+            num_classes=self.num_classes,
+        )
+
+    def epoch_order(self, key, batch_size: int) -> jax.Array:
+        """Random block permutation for one epoch, padded with -1 fill
+        ids to a multiple of batch_size (device-side shuffle — the
+        analogue of the reference DataLoader's shuffle=True)."""
+        m = self.num_blocks
+        perm = jax.random.permutation(key, m)
+        pad = (-m) % batch_size
+        if pad:
+            perm = jnp.concatenate([perm, jnp.full((pad,), -1, perm.dtype)])
+        return perm.astype(jnp.int32)
+
+
+class DeviceEpochLoader:
+    """Iterable adapter: plugs the device store into the existing
+    `train_epoch` loop (which accepts any iterable of
+    (points, labels, lengths)) with zero host I/O per step."""
+
+    def __init__(self, store: DeviceBlockStore, batch_size: int,
+                 npoints: int = 4096, seed: int = 0, drop_last: bool = False):
+        self.store = store
+        self.batch_size = batch_size
+        self.npoints = npoints
+        self.drop_last = drop_last
+        self._key = jax.random.key(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        m = self.store.num_blocks
+        if self.drop_last:
+            return m // self.batch_size
+        return (m + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        ek = jax.random.fold_in(self._key, self._epoch)
+        self._epoch += 1
+        shuffle_key, sample_key = jax.random.split(ek)
+        order = self.store.epoch_order(shuffle_key, self.batch_size)
+        for step in range(len(self)):
+            yield self.store.sample(
+                order, step, jax.random.fold_in(sample_key, step),
+                self.batch_size, self.npoints,
+            )

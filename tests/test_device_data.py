@@ -1,0 +1,155 @@
+"""Device-resident block store + multi-worker host loader.
+
+The on-HBM sampling path (pointseg/data/device.py) replaces the
+reference's host DataLoader re-reads (block_datasets.py:104-181) with
+jitted in-step sampling; these tests pin its semantics on the virtual
+CPU backend.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointseg.data.datasets import BlockDataset, Loader
+from pointseg.data.device import DeviceBlockStore, DeviceEpochLoader
+from pointseg.data.synthetic import make_block_dataset
+
+
+@pytest.fixture(scope="module")
+def block_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("blocks")
+    return make_block_dataset(str(d), areas=(1, 2), rooms_per_area=2,
+                              points_per_room=3000, seed=0)
+
+
+def _toy_store(num_blocks=5, num_classes=4, seed=0):
+    """Blocks whose feature[0] encodes the block id — any cross-block
+    sampling leak is immediately visible in the features."""
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(50, 400, size=num_blocks)
+    pts, labs = [], []
+    for b, n in enumerate(counts):
+        p = rng.normal(size=(n, 9)).astype(np.float32)
+        p[:, 0] = b
+        pts.append(p)
+        labs.append(rng.integers(0, num_classes, size=n).astype(np.uint8))
+    store = DeviceBlockStore(np.concatenate(pts), np.concatenate(labs),
+                             counts, num_classes=num_classes)
+    return store, counts
+
+
+def test_sample_stays_within_block():
+    store, _ = _toy_store()
+    order = store.epoch_order(jax.random.key(0), batch_size=2)
+    for step in range(store.num_blocks // 2):
+        pts, onehot, lengths = store.sample(
+            order, step, jax.random.key(step), batch_size=2, npoints=64)
+        assert pts.shape == (2, 64, 9)
+        assert onehot.shape == (2, 64, 4) and onehot.dtype == jnp.uint8
+        ids = np.asarray(order)[2 * step : 2 * step + 2]
+        got = np.asarray(pts)[:, :, 0]
+        # every sampled point carries its source block's id marker
+        np.testing.assert_array_equal(got, np.broadcast_to(ids[:, None], got.shape))
+        assert np.all(np.asarray(lengths) == 64)
+
+
+def test_labels_match_points():
+    """The (point, label) pairing survives the flat gather: rebuild the
+    expected label from the sampled point's identity feature."""
+    rng = np.random.default_rng(1)
+    counts = [100, 200]
+    pts, labs = [], []
+    for b, n in enumerate(counts):
+        p = rng.normal(size=(n, 9)).astype(np.float32)
+        # feature[1] encodes the point's label
+        lab = rng.integers(0, 4, size=n).astype(np.uint8)
+        p[:, 1] = lab
+        pts.append(p)
+        labs.append(lab)
+    store = DeviceBlockStore(np.concatenate(pts), np.concatenate(labs),
+                             counts, num_classes=4)
+    order = jnp.asarray([0, 1], jnp.int32)
+    p, onehot, _ = store.sample(order, 0, jax.random.key(3),
+                                batch_size=2, npoints=128)
+    want = np.asarray(p)[:, :, 1].astype(np.int64)
+    got = np.asarray(onehot).argmax(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fill_rows_are_zeroed():
+    store, _ = _toy_store(num_blocks=3)
+    order = store.epoch_order(jax.random.key(0), batch_size=2)  # padded to 4
+    assert order.shape == (4,) and int(order[-1]) == -1
+    pts, onehot, lengths = store.sample(order, 1, jax.random.key(0),
+                                        batch_size=2, npoints=32)
+    assert int(lengths[1]) == 0
+    assert np.all(np.asarray(onehot)[1] == 0)
+    assert np.all(np.asarray(pts)[1] == 0)
+
+
+def test_epoch_order_is_a_permutation():
+    store, _ = _toy_store(num_blocks=7)
+    order = np.asarray(store.epoch_order(jax.random.key(5), batch_size=4))
+    assert order.shape == (8,)
+    assert sorted(order[order >= 0]) == list(range(7))
+
+
+def test_epoch_loader_deterministic_and_shuffled():
+    store, _ = _toy_store(num_blocks=6)
+    a = [np.asarray(p) for p, _, _ in DeviceEpochLoader(store, 2, 32, seed=9)]
+    b = [np.asarray(p) for p, _, _ in DeviceEpochLoader(store, 2, 32, seed=9)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # successive epochs reshuffle
+    ld = DeviceEpochLoader(store, 2, 32, seed=9)
+    e1 = np.concatenate([np.asarray(p)[:, 0, 0] for p, _, _ in ld])
+    e2 = np.concatenate([np.asarray(p)[:, 0, 0] for p, _, _ in ld])
+    assert sorted(e1.tolist()) == sorted(e2.tolist())
+    assert not np.array_equal(e1, e2)
+
+
+def test_from_block_dataset_matches_host(block_dir):
+    ds = BlockDataset(block_dir, {1, 2}, sampling=None)
+    store = DeviceBlockStore.from_block_dataset(ds, num_workers=4)
+    assert store.num_blocks == len(ds)
+    total = sum(ds[i][0].shape[0] for i in range(len(ds)))
+    assert store.points.shape == (total, 9)
+    # per-block counts line up with the host reads
+    for i in range(len(ds)):
+        assert int(store.counts[i]) == ds[i][0].shape[0]
+    assert store.nbytes > 0
+
+    def rejects_sampled():
+        DeviceBlockStore.from_block_dataset(BlockDataset(block_dir, {1}, sampling=64))
+
+    with pytest.raises(ValueError):
+        rejects_sampled()
+
+
+def test_device_loader_feeds_train_step(block_dir):
+    """The loader's output plugs straight into the jitted train step."""
+    from pointseg.models import PointNetSeg
+    from pointseg.train.state import create_train_state, train_step
+
+    ds = BlockDataset(block_dir, {1}, sampling=None)
+    store = DeviceBlockStore.from_block_dataset(ds)
+    loader = DeviceEpochLoader(store, batch_size=2, npoints=256)
+    model = PointNetSeg(num_classes=14)
+    pts, _, _ = next(iter(loader))
+    state = create_train_state(model, pts, 1e-3)
+    for batch in loader:
+        state, metrics = train_step(state, *batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_parallel_loader_matches_serial(block_dir):
+    ds = BlockDataset(block_dir, {1, 2}, sampling=None)
+    kw = dict(batch_size=3, shuffle=False, pad_to=4096, prefetch=0)
+    serial = list(Loader(ds, **kw, num_workers=0))
+    parallel = list(Loader(ds, **kw, num_workers=4))
+    assert len(serial) == len(parallel)
+    for (p1, l1, n1), (p2, l2, n2) in zip(serial, parallel):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(n1, n2)

@@ -32,6 +32,9 @@ import traceback
 
 import numpy as np
 
+# runnable as `python tools/verify_tpu.py` — sys.path[0] is tools/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 INIT_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "180"))
 
 
