@@ -55,6 +55,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--test-pad-to", type=int, default=None,
                    help="Static pad size for unsampled test blocks.")
     p.add_argument("--test-areas", type=int, nargs="+", default=[6])
+    p.add_argument("--test-pad-mode", choices=["repeat", "zero"],
+                   default="repeat",
+                   help="Static-pad filler for eval batches: 'repeat' "
+                        "(in-distribution, default) or 'zero' (exact "
+                        "reference semantics; distorts BN stats when "
+                        "bucket padding is large).")
     p.add_argument("--num-workers", type=int, default=4,
                    help="Parallel host block readers (0 = serial).")
     p.add_argument("--device-data", action="store_true",
@@ -116,6 +122,7 @@ def cmd_train(args) -> int:
         test_buckets=None if args.test_pad_to else (1024, 2048, 4096, 8192, 16384, 32768, 65536),
         seed=args.seed,
         num_workers=args.num_workers,
+        test_pad_mode=args.test_pad_mode,
     )
     if args.device_data:
         # Swap the host train loader for the on-HBM sampling path
@@ -332,6 +339,7 @@ def cmd_evaluate(args) -> int:
         train_sampling=sampling or 4096,
         test_sampling=sampling,
         test_buckets=(1024, 2048, 4096, 8192, 16384, 32768, 65536),
+        test_pad_mode=args.pad_mode,
     )
     results = evaluate(state, test_loader, num_classes=num_classes)
 
@@ -509,6 +517,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-classes", type=int, default=14, choices=[13, 14],
                    help="13 for legacy-stack checkpoints (reference "
                         "models/dgcnn/evaluate.py is 13-class).")
+    p.add_argument("--pad-mode", choices=["repeat", "zero"], default="repeat",
+                   help="Eval-batch padding filler (see train --test-pad-mode).")
     p.add_argument("--whole-rooms", action="store_true",
                    help="Whole-room sliding-window eval over chunked data.")
     p.add_argument("--window-size", type=int, default=4096)

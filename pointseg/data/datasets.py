@@ -132,11 +132,27 @@ def collate_blocks(
     pad_multiple: int = 512,
     num_classes: int = NUM_S3DIS_CLASSES,
     batch_size: int | None = None,
+    pad_mode: str = "zero",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Zero-pads a batch (reference block_datasets.py:5-29) to a static
+    """Pads a batch (reference block_datasets.py:5-29) to a static
     shape: `pad_to` wins, else the smallest bucket >= batch max, else
     batch max rounded up to `pad_multiple`. Short batches are filled
-    with zero-length rows when `batch_size` is given."""
+    with zero-length rows when `batch_size` is given.
+
+    pad_mode:
+      "zero"   — the reference's semantics (zeros after the real points).
+                 Safe when padding is small (the reference pads only to
+                 the batch max), but heavy static padding plants a huge
+                 duplicate-point cluster at the origin that shifts every
+                 BatchNorm input distribution: measured -60 OA points on
+                 bucket-padded whole-block eval (see
+                 tests/test_device_data.py and TRAIN_PARITY notes).
+      "repeat" — pad by cyclically repeating the block's own points
+                 (with their labels). Padding stays in-distribution, so
+                 static bucket shapes don't distort neighborhoods;
+                 metrics/loss still mask to the true `lengths`, so
+                 reported numbers cover exactly the real points.
+    """
     n_max = max(p.shape[0] for p, _ in batch)
     n_pad = pad_to if pad_to is not None else _round_up_to_bucket(
         n_max, buckets, pad_multiple
@@ -144,6 +160,8 @@ def collate_blocks(
     if n_pad < n_max:
         # truncation would silently drop labeled points; pad_to must cover
         raise ValueError(f"pad_to={n_pad} smaller than batch max {n_max}")
+    if pad_mode not in ("zero", "repeat"):
+        raise ValueError(f"unknown pad_mode {pad_mode!r}")
     b_pad = batch_size if batch_size is not None else len(batch)
 
     points = np.zeros((b_pad, n_pad, POINT_FEATURE_DIM), np.float32)
@@ -154,6 +172,10 @@ def collate_blocks(
         points[i, :n] = p
         labels[i, :n] = l
         lengths[i] = n
+        if pad_mode == "repeat" and n and n < n_pad:
+            reps = np.resize(np.arange(n), n_pad - n)  # cyclic indices
+            points[i, n:] = p[reps]
+            labels[i, n:] = np.asarray(l)[reps]
     return points, labels, lengths
 
 
@@ -179,6 +201,7 @@ class Loader:
         seed: int = 0,
         prefetch: int = 2,
         num_workers: int = 0,
+        pad_mode: str = "zero",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -189,6 +212,7 @@ class Loader:
         self.num_classes = num_classes
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self.pad_mode = pad_mode
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -216,6 +240,7 @@ class Loader:
             buckets=self.buckets,
             num_classes=self.num_classes,
             batch_size=self.batch_size,
+            pad_mode=self.pad_mode,
         )
 
     def _batches(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -293,6 +318,7 @@ def create_block_dataloaders(
     test_buckets: Sequence[int] | None = None,
     seed: int = 0,
     num_workers: int = 0,
+    test_pad_mode: str = "repeat",
 ) -> tuple[Loader, Loader]:
     """Train/test loaders split by area (reference block_datasets.py:133-183).
     Train pads to exactly `train_sampling`; test uses buckets (or a fixed
@@ -317,6 +343,7 @@ def create_block_dataloaders(
         buckets=test_buckets,
         seed=seed + 1,
         num_workers=num_workers,
+        pad_mode=test_pad_mode,
     )
     return train, test
 

@@ -56,13 +56,18 @@ def _sample_batch(
     npoints: int,
     num_classes: int,
 ):
+    """One sampled batch. `step` and `key` MUST be device-resident and
+    threaded between calls (see DeviceEpochLoader): a fresh host scalar
+    per step would cost a relayed H2D round trip (~30 ms measured,
+    PROFILE_r02.json h2d) — more than the sampling itself (~4 ms)."""
+    key, sub = jax.random.split(key)
     ids = jax.lax.dynamic_slice(order, (step * batch_size,), (batch_size,))
     valid = ids >= 0
     safe = jnp.where(valid, ids, 0)
     off = jnp.take(offsets, safe, axis=0)          # (B,)
     cnt = jnp.where(valid, jnp.take(counts, safe, axis=0), 0)
 
-    u = jax.random.uniform(key, (batch_size, npoints))
+    u = jax.random.uniform(sub, (batch_size, npoints))
     local = jnp.floor(u * cnt[:, None].astype(jnp.float32)).astype(jnp.int32)
     local = jnp.clip(local, 0, jnp.maximum(cnt[:, None] - 1, 0))
     rows = off[:, None] + local                    # (B, npoints)
@@ -76,7 +81,7 @@ def _sample_batch(
     onehot = jnp.where(valid[:, None, None], onehot, 0)
     pts = jnp.where(valid[:, None, None], pts, 0.0)
     lengths = jnp.where(valid, npoints, 0).astype(jnp.int32)
-    return pts, onehot, lengths
+    return pts, onehot, lengths, step + 1, key
 
 
 class DeviceBlockStore:
@@ -141,10 +146,13 @@ class DeviceBlockStore:
                    for x in (self.points, self.labels, self.offsets, self.counts))
 
     def sample(self, order, step, key, batch_size: int, npoints: int):
-        """One (points, onehot, lengths) batch — entirely on device."""
+        """One batch — entirely on device. Returns
+        (points, onehot, lengths, next_step, next_key); thread the last
+        two back into the next call (they live on device — converting
+        them to/from host scalars costs a relay round trip per step)."""
         return _sample_batch(
             self.points, self.labels, self.offsets, self.counts,
-            order, jnp.asarray(step, jnp.int32), key,
+            order, step, key,
             batch_size=batch_size, npoints=npoints,
             num_classes=self.num_classes,
         )
@@ -159,6 +167,77 @@ class DeviceBlockStore:
         if pad:
             perm = jnp.concatenate([perm, jnp.full((pad,), -1, perm.dtype)])
         return perm.astype(jnp.int32)
+
+
+class ChunkedDevicePrefetcher:
+    """Amortizes host->device transfer latency for host loaders.
+
+    On the relayed TPU runtime one batch transfer costs ~30 ms of
+    round-trip latency regardless of size (PROFILE_r02.json h2d) — more
+    than the 4096-point train step itself, capping the host pipeline at
+    ~40% of step throughput no matter how many reader threads run. This
+    wrapper stacks `chunk` equal-shaped batches on the host (in a
+    background thread, overlapped with device compute) and ships them
+    as ONE transfer, then yields per-batch device slices: latency is
+    paid once per chunk instead of once per step.
+
+    Batches whose shapes differ from the running chunk (bucketed eval
+    pads, short final batches) flush the chunk and start a new one, so
+    any (points, labels, lengths) loader can be wrapped.
+    """
+
+    def __init__(self, loader, chunk: int = 8, prefetch: int = 2):
+        self.loader = loader
+        self.chunk = chunk
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def _host_chunks(self):
+        buf: list = []
+        for batch in self.loader:
+            if buf and any(
+                b.shape != p.shape for b, p in zip(batch, buf[-1])
+            ):
+                yield [np.stack(arrs) for arrs in zip(*buf)]
+                buf = []
+            buf.append(batch)
+            if len(buf) == self.chunk:
+                yield [np.stack(arrs) for arrs in zip(*buf)]
+                buf = []
+        if buf:
+            yield [np.stack(arrs) for arrs in zip(*buf)]
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def worker():
+            try:
+                for c in self._host_chunks():
+                    q.put(c)
+            except BaseException as e:  # surfaced in the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            stacked = [jax.device_put(a) for a in item]  # ONE transfer each
+            for i in range(item[0].shape[0]):
+                yield tuple(a[i] for a in stacked)
+        t.join()
+        if err:
+            raise err[0]
 
 
 class DeviceEpochLoader:
@@ -182,12 +261,15 @@ class DeviceEpochLoader:
         return (m + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
+        # one host->device interaction per EPOCH (the fold_in); the
+        # per-step loop only chains device-resident computations
         ek = jax.random.fold_in(self._key, self._epoch)
         self._epoch += 1
-        shuffle_key, sample_key = jax.random.split(ek)
+        shuffle_key, key = jax.random.split(ek)
         order = self.store.epoch_order(shuffle_key, self.batch_size)
-        for step in range(len(self)):
-            yield self.store.sample(
-                order, step, jax.random.fold_in(sample_key, step),
-                self.batch_size, self.npoints,
+        step = jnp.zeros((), jnp.int32)
+        for _ in range(len(self)):
+            pts, onehot, lengths, step, key = self.store.sample(
+                order, step, key, self.batch_size, self.npoints,
             )
+            yield pts, onehot, lengths

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pointseg import ops
@@ -188,23 +189,72 @@ class InvResMLP(nn.Module):
         return coords, h + features
 
 
+class _BNStats(nn.Module):
+    """BatchNorm parameters/statistics with flax.linen.BatchNorm's exact
+    variable layout (params {scale, bias}, batch_stats {mean, var}), for
+    blocks that compute their batch statistics analytically instead of
+    from a materialized input tensor. Same momentum/update rule as flax
+    BN (biased variance on both paths), so swapping a real BatchNorm for
+    this module is checkpoint- and torch-import-compatible.
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, batch_mean, batch_var, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if train and batch_mean is not None:
+            mean, var = batch_mean, batch_var
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return scale, bias, mean, var
+
+
 class EdgeConv(nn.Module):
     """DGCNN edge convolution (dgcnn.py:60-77): dynamic kNN graph ->
     edge features cat(x_j - x_i, x_i) -> bias-free Dense + BN +
     LeakyReLU(0.2) -> max over neighbors.
 
-    TPU rewrite: the bias-free Dense distributes over the concat,
+    TPU rewrite, step 1 (pre-gather matmuls): the bias-free Dense
+    distributes over the concat,
         W @ cat(x_j - x_i, x_i) = x_j @ W_e + x_i @ (W_c - W_e),
     so both matmuls run per-POINT (N rows) before the neighbor gather
     instead of per-EDGE (N*k rows) after it — ~k x fewer MXU FLOPs and
     the gathered tensor carries `out_channels` instead of 2F channels.
-    Numerically identical to the reference formulation up to fp
-    reassociation; BN/LeakyReLU/max-over-k are unchanged.
+
+    Step 2 (`fused=True`, default): the (B, N, k, out) edge tensor is
+    never materialized at all. Writing an edge e_ij = p_j + d_i, the
+    center term d_i is constant over a point's neighborhood, and
+    BN + LeakyReLU compose to a per-channel MONOTONE map (slope sign =
+    sign of the BN scale/var term), so
+        max_j act(bn(p_j + d_i)) = act(bn(M_i + d_i)),
+        M_i = max_j p_j  if the map increases, min_j p_j otherwise,
+    and training-mode BN statistics over all B*N*k edges reduce to
+    gathered neighbor sums:
+        sum_ij e_ij   = sum_i (s_i + k d_i),           s_i = sum_j p_j
+        sum_ij e_ij^2 = sum_i (q_i + 2 d_i s_i + k d_i^2), q_i = sum_j p_j^2.
+    The only O(B*N*k) work left is four gather-reduces of p (two in
+    eval), each fusible by XLA without materialization; BN/activation
+    run on (B, N, out). Exactly equal to the unfused form (same batch
+    stats, same outputs) up to fp reassociation — proven in
+    tests/test_blocks.py.
     """
 
     out_channels: int
     k: int = 20
     dtype: Any = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, knn_on=None, mask=None):
@@ -215,13 +265,33 @@ class EdgeConv(nn.Module):
                      name="w_edge")(x)  # (B, N, out)
         d = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      name="w_center")(x)  # (B, N, out)
-        edges = ops.gather_neighbors(p, idx) + d[:, :, None, :]  # (B, N, k, out)
-        edges = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn",
-        )(edges)
-        edges = leaky_relu_02(edges)
-        return jnp.max(edges, axis=2)  # (B, N, out)
+        if not self.fused:
+            edges = ops.gather_neighbors(p, idx) + d[:, :, None, :]
+            edges = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
+            )(edges)
+            edges = leaky_relu_02(edges)
+            return jnp.max(edges, axis=2)  # (B, N, out)
+
+        gp = ops.gather_neighbors(p, idx)  # consumed only by reductions
+        g_max = jnp.max(gp, axis=2)
+        g_min = jnp.min(gp, axis=2)
+        if train:
+            s = jnp.sum(gp, axis=2)                     # (B, N, out)
+            q = jnp.sum(gp * gp, axis=2)                # (B, N, out)
+            count = p.shape[0] * p.shape[1] * self.k
+            mean = jnp.sum(s + self.k * d, axis=(0, 1)) / count
+            ex2 = jnp.sum(q + 2.0 * d * s + self.k * d * d, axis=(0, 1)) / count
+            var = jnp.maximum(ex2 - mean * mean, 0.0)
+        else:
+            mean = var = None
+        scale, bias, mean, var = _BNStats(
+            self.out_channels, momentum=0.9, epsilon=1e-5, name="bn",
+        )(mean, var, train)
+        t = scale * jax.lax.rsqrt(var + 1e-5)           # per-channel slope
+        extreme = jnp.where(t >= 0, g_max, g_min) + d   # argmax of the affine map
+        return leaky_relu_02((extreme - mean) * t + bias)
 
 
 class TNet(nn.Module):

@@ -134,3 +134,62 @@ def test_tnet_starts_near_identity(data):
     diag = np.abs(np.diagonal(m, axis1=1, axis2=2)).mean()
     off = np.abs(m - np.eye(6)).mean()
     assert diag > off
+
+
+def _ec_apply(layer, v, feats, train):
+    if train:
+        return layer.apply(v, feats, train=True, mutable=["batch_stats"])
+    return layer.apply(v, feats, train=False), v["batch_stats"]
+
+
+def test_edgeconv_fused_equals_unfused_train_and_eval(data):
+    """The fused EdgeConv (no (B,N,k,C) materialization) must equal the
+    straightforward gather->BN->leaky->max form: outputs AND updated
+    running statistics, in both modes."""
+    coords, feats = data
+    out_ch, k = 12, 5
+    fused = EdgeConv(out_ch, k, fused=True)
+    plain = EdgeConv(out_ch, k, fused=False)
+    v = fused.init({"params": jax.random.key(0)}, feats)
+    # same variable layout by construction (checkpoint compatibility)
+    vp = plain.init({"params": jax.random.key(0)}, feats)
+    assert jax.tree.structure(v) == jax.tree.structure(vp)
+
+    # nudge running stats off their defaults so eval mode is non-trivial
+    v = jax.tree.map(lambda a: a, v)
+    v["batch_stats"]["bn"]["mean"] = 0.1 * jnp.arange(out_ch, dtype=jnp.float32)
+    v["batch_stats"]["bn"]["var"] = 1.0 + 0.05 * jnp.arange(out_ch, dtype=jnp.float32)
+    v["params"]["bn"]["scale"] = jnp.asarray(
+        np.linspace(-1.2, 1.3, out_ch), jnp.float32)  # negative slopes too
+
+    for train in (True, False):
+        got, stats_f = _ec_apply(EdgeConv(out_ch, k, fused=True), v, feats, train)
+        want, stats_p = _ec_apply(EdgeConv(out_ch, k, fused=False), v, feats, train)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5,
+            err_msg=f"train={train}")
+        bn_f = stats_f.get("batch_stats", stats_f)["bn"]
+        bn_p = stats_p.get("batch_stats", stats_p)["bn"]
+        for key_ in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(bn_f[key_]), np.asarray(bn_p[key_]),
+                atol=3e-6, err_msg=f"train={train} stat={key_}")
+
+
+def test_edgeconv_fused_gradients_match_unfused(data):
+    coords, feats = data
+    out_ch, k = 8, 4
+    v = EdgeConv(out_ch, k, fused=True).init({"params": jax.random.key(1)}, feats)
+
+    def loss(params, fused):
+        layer = EdgeConv(out_ch, k, fused=fused)
+        out, _ = layer.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            feats, train=True, mutable=["batch_stats"])
+        return jnp.sum(out * out)
+
+    gf = jax.grad(loss)(v["params"], True)
+    gp = jax.grad(loss)(v["params"], False)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

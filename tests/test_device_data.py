@@ -43,7 +43,7 @@ def test_sample_stays_within_block():
     store, _ = _toy_store()
     order = store.epoch_order(jax.random.key(0), batch_size=2)
     for step in range(store.num_blocks // 2):
-        pts, onehot, lengths = store.sample(
+        pts, onehot, lengths, _, _ = store.sample(
             order, step, jax.random.key(step), batch_size=2, npoints=64)
         assert pts.shape == (2, 64, 9)
         assert onehot.shape == (2, 64, 4) and onehot.dtype == jnp.uint8
@@ -70,8 +70,8 @@ def test_labels_match_points():
     store = DeviceBlockStore(np.concatenate(pts), np.concatenate(labs),
                              counts, num_classes=4)
     order = jnp.asarray([0, 1], jnp.int32)
-    p, onehot, _ = store.sample(order, 0, jax.random.key(3),
-                                batch_size=2, npoints=128)
+    p, onehot, _, _, _ = store.sample(order, 0, jax.random.key(3),
+                                      batch_size=2, npoints=128)
     want = np.asarray(p)[:, :, 1].astype(np.int64)
     got = np.asarray(onehot).argmax(-1)
     np.testing.assert_array_equal(got, want)
@@ -81,8 +81,8 @@ def test_fill_rows_are_zeroed():
     store, _ = _toy_store(num_blocks=3)
     order = store.epoch_order(jax.random.key(0), batch_size=2)  # padded to 4
     assert order.shape == (4,) and int(order[-1]) == -1
-    pts, onehot, lengths = store.sample(order, 1, jax.random.key(0),
-                                        batch_size=2, npoints=32)
+    pts, onehot, lengths, _, _ = store.sample(order, 1, jax.random.key(0),
+                                              batch_size=2, npoints=32)
     assert int(lengths[1]) == 0
     assert np.all(np.asarray(onehot)[1] == 0)
     assert np.all(np.asarray(pts)[1] == 0)

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""End-to-end (IO-inclusive) input-pipeline benchmark at realistic scale.
+
+Round-1 throughput numbers measured the jitted step on a resident batch;
+this tool measures what the reference's users actually experience — a
+full epoch including data loading — at >=10k blocks (VERDICT.md round-1
+weak#5 / next#5). It compares:
+
+  step       jitted train step on one resident batch (upper bound)
+  host-w0    host Loader, serial reads (round-1 pipeline)
+  host-wN    host Loader, N parallel readers (this round)
+  device     DeviceBlockStore on-HBM sampling (zero per-step host I/O)
+
+The block files are synthetic but written through the real `.npz` block
+format the ETL produces (reference equivalent being replaced:
+data_processing/block_datasets.py:104-181 + torch DataLoader workers).
+
+Writes a JSON summary (--out) with points/sec per pipeline and the
+epoch/step throughput ratios.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_blocks(data_dir: str, num_blocks: int, points_per_block: int,
+                seed: int = 0) -> None:
+    """Direct block-file writer (bypasses the room ETL — at 10k blocks
+    the full preprocessor would dominate setup time)."""
+    rng = np.random.default_rng(seed)
+    area_dir = os.path.join(data_dir, "area_1")
+    os.makedirs(area_dir, exist_ok=True)
+    for i in range(num_blocks):
+        n = int(points_per_block * rng.uniform(0.6, 1.4))
+        pts = rng.normal(size=(n, 9)).astype(np.float32)
+        labs = np.eye(14, dtype=np.uint8)[rng.integers(0, 14, size=n)]
+        np.savez(os.path.join(area_dir, f"room1_block{i}.npz"),
+                 points=pts, labels=labs)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="/tmp/pointseg_pipeline_bench")
+    ap.add_argument("--num-blocks", type=int, default=10000)
+    ap.add_argument("--points-per-block", type=int, default=4096)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--npoints", type=int, default=4096)
+    ap.add_argument("--max-batches", type=int, default=150,
+                    help="Cap measured batches per pipeline (full 10k-block "
+                         "epochs would take minutes each on the host paths).")
+    ap.add_argument("--workers", type=int, nargs="+", default=[0, 8])
+    ap.add_argument("--out", default="PIPELINE_BENCH.json")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.data_dir, "area_1")):
+        print(f"generating {args.num_blocks} blocks under {args.data_dir} ...",
+              flush=True)
+        t0 = time.perf_counter()
+        make_blocks(args.data_dir, args.num_blocks, args.points_per_block)
+        print(f"  done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg.data.datasets import BlockDataset, Loader
+    from pointseg.data.device import DeviceBlockStore, DeviceEpochLoader
+    from pointseg.models import PointNetPP
+    from pointseg.runtime import setup_runtime
+    from pointseg.train.state import create_train_state, train_step
+
+    setup_runtime()
+    B, N = args.batch_size, args.npoints
+
+    rng = np.random.default_rng(0)
+    pts0 = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+    lab0 = jnp.asarray(np.eye(14, dtype=np.uint8)[rng.integers(0, 14, (B, N))])
+    len0 = jnp.full((B,), N, jnp.int32)
+    model = PointNetPP(num_classes=14)
+    state = create_train_state(model, pts0, 1e-3)
+    key = jax.random.key(0)
+
+    def sync(x):
+        # relay: block_until_ready returns early; host fetch is the fence
+        jax.device_get(x.ravel()[0])
+
+    results = {"config": {"num_blocks": args.num_blocks, "B": B, "N": N,
+                          "max_batches": args.max_batches}}
+
+    # ---- pure step (upper bound) ----
+    for _ in range(5):
+        state, m = train_step(state, pts0, lab0, len0, key)
+    sync(m["loss"])
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = train_step(state, pts0, lab0, len0, key)
+    sync(m["loss"])
+    step_pps = B * N * reps / (time.perf_counter() - t0)
+    results["step_points_per_sec"] = round(step_pps)
+    print(f"step-only: {step_pps / 1e6:.2f}M pts/s", flush=True)
+
+    def run_epoch(loader, tag):
+        nonlocal state
+        n_batches = 0
+        t0 = time.perf_counter()
+        for points, labels, lengths in loader:
+            state, m = train_step(
+                state, jnp.asarray(points), jnp.asarray(labels),
+                jnp.asarray(lengths), key)
+            n_batches += 1
+            if n_batches >= args.max_batches:
+                break
+        sync(m["loss"])
+        dt = time.perf_counter() - t0
+        pps = B * N * n_batches / dt
+        results[f"{tag}_points_per_sec"] = round(pps)
+        results[f"{tag}_vs_step"] = round(pps / step_pps, 3)
+        print(f"{tag}: {pps / 1e6:.2f}M pts/s "
+              f"({100 * pps / step_pps:.0f}% of step-only, "
+              f"{n_batches} batches, {dt:.1f}s)", flush=True)
+
+    # ---- host loader at each worker count ----
+    for w in args.workers:
+        ds = BlockDataset(args.data_dir, {1}, sampling=N)
+        run_epoch(Loader(ds, B, shuffle=True, pad_to=N, num_workers=w,
+                         drop_last=True),
+                  f"host_w{w}")
+
+    # ---- device-resident ----
+    raw = BlockDataset(args.data_dir, {1}, sampling=None)
+    t0 = time.perf_counter()
+    store = DeviceBlockStore.from_block_dataset(raw, num_workers=16)
+    results["device_upload_seconds"] = round(time.perf_counter() - t0, 1)
+    results["device_store_mb"] = round(store.nbytes / 1e6, 1)
+    print(f"device store: {store.nbytes / 1e6:.0f} MB uploaded in "
+          f"{results['device_upload_seconds']}s", flush=True)
+    run_epoch(DeviceEpochLoader(store, B, N, drop_last=True), "device")
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

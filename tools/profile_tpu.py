@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Profile-driven analysis on the real TPU chip (VERDICT.md round-1 #6).
+
+Captures xplane traces (jax.profiler) for the hot paths the round-1
+report could only wall-clock:
+
+  gather    take_along_axis neighbor fetch at SA1 scale
+  ballq_k   Pallas ball query at k=1 vs k=20 (the "base cost" question)
+  knn_k     Pallas kNN at k=1 vs k=20
+  pnpp      full PointNet++ train step
+  dgcnn     full DGCNN train step
+
+Each section runs in its own trace directory; the traces are then
+decoded with tools/xplane.py (no tensorflow needed) and the per-op
+device totals written to a JSON + human-readable summary. Wall times
+(relay-synced) are recorded alongside as ground truth in case the
+relay strips device planes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.xplane import op_totals, parse_xspace  # noqa: E402
+
+
+def sync(x):
+    import jax
+
+    jax.device_get(np.asarray(x).ravel()[0] if isinstance(x, np.ndarray)
+                   else jax.tree.leaves(x)[0].ravel()[0])
+
+
+def timed(fn, args, reps=20):
+    import jax
+
+    out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-root", default="/tmp/pointseg_profile")
+    ap.add_argument("--out", default="PROFILE_r02.json")
+    ap.add_argument("--sections", nargs="+",
+                    default=["gather", "sample", "h2d", "ballq_k", "knn_k",
+                             "pnpp", "dgcnn"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg import ops
+    from pointseg.runtime import setup_runtime
+
+    setup_runtime()
+    print(f"devices: {jax.devices()}", flush=True)
+
+    rng = np.random.default_rng(0)
+    results: dict = {"device": str(jax.devices()[0]), "sections": {}}
+
+    def capture(tag, fn, call_args, reps=10):
+        """Wall-time + xplane capture for one jitted callable."""
+        wall = timed(fn, call_args, reps=reps)
+        tdir = os.path.join(args.trace_root, tag)
+        os.makedirs(tdir, exist_ok=True)
+        with jax.profiler.trace(tdir):
+            for _ in range(reps):
+                out = fn(*call_args)
+            sync(out)
+        sec = {"wall_ms_per_call": round(wall * 1e3, 3)}
+        pbs = glob.glob(os.path.join(tdir, "**", "*.xplane.pb"), recursive=True)
+        if pbs:
+            planes = parse_xspace(max(pbs, key=os.path.getmtime))
+            sec["planes"] = [p.name for p in planes]
+            tot = op_totals(planes, plane_filter="TPU")
+            if not tot:
+                tot = op_totals(planes, plane_filter="")
+            top = sorted(tot.items(), key=lambda kv: -kv[1]["ms"])[:25]
+            sec["top_ops"] = [
+                {"op": k, "total_ms": round(v["ms"], 3), "count": v["count"],
+                 "per_call_ms": round(v["ms"] / reps, 4), "line": v["line"]}
+                for k, v in top
+            ]
+        else:
+            sec["top_ops"] = []
+            sec["note"] = "no xplane.pb produced"
+        results["sections"][tag] = sec
+        print(f"[{tag}] wall {sec['wall_ms_per_call']}ms/call, "
+              f"{len(sec['top_ops'])} profiled ops", flush=True)
+
+    B, N, C, K, H = 8, 4096, 1024, 32, 64
+
+    if "gather" in args.sections:
+        table = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, N, size=(B, C, K)).astype(np.int32))
+
+        @jax.jit
+        def g(t, i):
+            return jnp.take_along_axis(t[:, None, :, :], i[..., None], axis=2)
+
+        capture("gather", g, (table, idx))
+
+    if "sample" in args.sections:
+        # device-resident sampler at PIPELINE_BENCH scale (10k blocks)
+        from pointseg.data.device import DeviceBlockStore
+
+        counts = rng.integers(2500, 5800, size=10000)
+        T = int(counts.sum())
+        store = DeviceBlockStore(
+            rng.normal(size=(T, 9)).astype(np.float32),
+            rng.integers(0, 14, size=T).astype(np.uint8), counts)
+        order = store.epoch_order(jax.random.key(0), B)
+        key = jax.random.key(1)
+
+        def samp(step):
+            return store.sample(order, step, key, B, N)
+
+        capture("sample", samp, (jnp.zeros((), jnp.int32),))
+
+    if "h2d" in args.sections:
+        # host->device batch transfer (the host loader's per-step cost)
+        pts = rng.normal(size=(B, N, 9)).astype(np.float32)
+        lab = np.eye(14, dtype=np.uint8)[rng.integers(0, 14, size=(B, N))]
+
+        def h2d():
+            a = jax.device_put(pts)
+            b = jax.device_put(lab)
+            return a
+
+        capture("h2d", h2d, ())
+
+    coords = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)) * 0.2
+
+    if "ballq_k" in args.sections:
+        cents = coords[:, :C]
+        for k in (1, 20, 32):
+            fn = jax.jit(lambda c, x, k=k: ops.ball_query(c, x, 0.2, k))
+            capture(f"ballq_k{k}", fn, (cents, coords))
+
+    if "knn_k" in args.sections:
+        x = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+        for k in (1, 20):
+            fn = jax.jit(lambda a, k=k: ops.knn_indices(a, k))
+            capture(f"knn_k{k}", fn, (x,))
+
+    def model_step(name):
+        from pointseg.models import create_model
+        from pointseg.train.state import create_train_state, train_step
+
+        model = create_model(name, num_classes=14)
+        pts = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+        lab = jnp.asarray(np.eye(14, dtype=np.uint8)[
+            rng.integers(0, 14, size=(B, N))])
+        ln = jnp.full((B,), N, jnp.int32)
+        state = create_train_state(model, pts, 1e-3)
+        key = jax.random.key(0)
+
+        def step(s):
+            s2, m = train_step(s, pts, lab, ln, key)
+            return s2, m
+
+        # keep functional shape for capture(): state is threaded manually
+        holder = {"s": state}
+
+        def fn():
+            holder["s"], m = train_step(holder["s"], pts, lab, ln, key)
+            return m["loss"]
+
+        return fn
+
+    if "pnpp" in args.sections:
+        capture("pnpp_step", model_step("PointNet++"), ())
+    if "dgcnn" in args.sections:
+        capture("dgcnn_step", model_step("DeepGraphCnn"), ())
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
