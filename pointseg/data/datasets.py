@@ -258,7 +258,8 @@ class Loader:
         from concurrent.futures import ThreadPoolExecutor
 
         ahead = max(2, self.prefetch + 1)
-        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
             window: deque = deque()
             it = iter(batches)
 
@@ -275,6 +276,13 @@ class Loader:
                 futures = window.popleft()
                 submit_next()
                 yield self._collate([f.result() for f in futures])
+            ex.shutdown(wait=True)
+        except BaseException:
+            # abandoned mid-epoch (consumer break / error): don't wait for
+            # the in-flight read window — cancel it and reap the threads so
+            # nothing lingers to contend with the training process
+            ex.shutdown(wait=False, cancel_futures=True)
+            raise
 
     def __iter__(self):
         if self.prefetch <= 0:
@@ -282,27 +290,54 @@ class Loader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list[BaseException] = []
 
         def worker():
             try:
-                for item in self._batches():
-                    q.put(item)
+                batches = self._batches()
+                try:
+                    for item in batches:
+                        # bounded put so an abandoned consumer (e.g. a
+                        # benchmark breaking at max_batches) can't strand
+                        # this thread on a full queue forever
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                finally:
+                    batches.close()  # reap _batches' executor promptly
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                # the sentinel MUST reach a live consumer: a full queue
+                # here can simply mean the consumer is still draining
+                # (short epochs fill prefetch before the first get), so
+                # keep trying until delivered or the consumer abandoned
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
 
 
 def create_block_dataloaders(

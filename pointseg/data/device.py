@@ -215,29 +215,55 @@ class ChunkedDevicePrefetcher:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list = []
 
         def worker():
             try:
-                for c in self._host_chunks():
-                    q.put(c)
+                chunks = self._host_chunks()
+                try:
+                    for c in chunks:
+                        # bounded put: an abandoned consumer must not
+                        # strand this thread on a full queue forever
+                        while not stop.is_set():
+                            try:
+                                q.put(c, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                finally:
+                    chunks.close()  # unwind the inner loader promptly
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                # the sentinel MUST reach a live consumer: a full queue
+                # here can simply mean the consumer is still draining
+                # (short epochs fill prefetch before the first get), so
+                # keep trying until delivered or the consumer abandoned
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            stacked = [jax.device_put(a) for a in item]  # ONE transfer each
-            for i in range(item[0].shape[0]):
-                yield tuple(a[i] for a in stacked)
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                stacked = [jax.device_put(a) for a in item]  # ONE transfer each
+                for i in range(item[0].shape[0]):
+                    yield tuple(a[i] for a in stacked)
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
 
 
 class DeviceEpochLoader:

@@ -30,6 +30,7 @@ class PointNetPP(nn.Module):
     """Single-scale-grouping PointNet++ (the reference's variant)."""
 
     num_classes: int = 14
+    dropout: float = 0.5  # reference rate (PointNetpp.py:24); 0 disables
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,7 +65,7 @@ class PointNetPP(nn.Module):
             coords0, c1, None, f1, train=train
         )
 
-        h = nn.Dropout(0.5, deterministic=not train)(f0)
+        h = nn.Dropout(self.dropout, deterministic=not train)(f0)
         logits = nn.Dense(self.num_classes, dtype=d, name="conv")(h)
         return logits.astype(jnp.float32)
 
@@ -73,6 +74,7 @@ class PointNetPPMSG(nn.Module):
     """Multi-scale-grouping PointNet++ (radius-nested ball queries)."""
 
     num_classes: int = 14
+    dropout: float = 0.5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -105,6 +107,6 @@ class PointNetPPMSG(nn.Module):
             coords0, c1, None, f1, train=train
         )
 
-        h = nn.Dropout(0.5, deterministic=not train)(f0)
+        h = nn.Dropout(self.dropout, deterministic=not train)(f0)
         logits = nn.Dense(self.num_classes, dtype=d, name="conv")(h)
         return logits.astype(jnp.float32)

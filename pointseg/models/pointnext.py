@@ -26,6 +26,7 @@ from pointseg.nn import FeaturePropagation, InvResMLP, SetAbstraction, SharedMLP
 class PointNeXt(nn.Module):
     num_classes: int = 14
     width: int = 32  # stem width; reference uses 32 (PointNeXt.py:39)
+    dropout: float = 0.5  # reference rate (PointNeXt.py:76); 0 disables
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -75,6 +76,6 @@ class PointNeXt(nn.Module):
             coords0, c1, f0, f1, train=train
         )
 
-        h = nn.Dropout(0.5, deterministic=not train)(f0)
+        h = nn.Dropout(self.dropout, deterministic=not train)(f0)
         logits = nn.Dense(self.num_classes, dtype=d, name="conv")(h)
         return logits.astype(jnp.float32)

@@ -7,12 +7,28 @@ TPU-native rebuild of the reference's dense ball-query grouping
 (‖c‖² − 2·c·xᵀ + ‖x‖²) so the O(C·N) work rides the MXU, and selection
 uses `lax.top_k` on negated masked distances.
 
-Selection semantics match the reference: distances beyond the radius are
-set to +inf *before* the top-k, so when a ball holds fewer than K points
-the remaining slots are filled by arbitrary out-of-radius points (the
-reference's topk-over-inf behavior, SURVEY.md "hard parts" (b)), and the
-relative coordinates of those fillers are NOT re-normalized — exactly as
-in common.py:58-69. `lax.top_k` breaks ties by lowest index, like torch.
+In-radius selection matches the reference exactly: distances beyond the
+radius are set to +inf before the top-k, so each ball takes its K
+nearest in-radius points (common.py:58-61). FILLER slots (balls with
+fewer than K members) deliberately deviate: this implementation repeats
+the ball's nearest member (slot 0 — the centroid itself whenever
+centroids are drawn from the point set), the standard PointNet++
+grouping semantics.
+
+Why deviate: the reference's fillers are topk-over-+inf picks, and
+torch's topk tie order among equal +inf values is IMPLEMENTATION-
+DEFINED — measured on torch-CPU it returns quickselect partition
+leftovers (index-clustered points near the pivot, varying with N and
+K), and the CUDA kernel orders differently again. The reference
+therefore injects *arbitrary out-of-radius points* into sparse balls,
+differently on every backend — behavior that cannot be reproduced and
+is not worth reproducing. Measured consequence of naive alternatives:
+filling with lowest-index out-of-radius points feeds the SAME few
+points into ~every sparse ball, which shifts eval-time activation
+statistics enough to collapse whole-room evaluation (0.13 OA vs 0.67
+for the torch reference on the same trained weights); repeating the
+nearest member keeps every region purely in-radius and matches what
+every mainstream PointNet++ implementation does.
 
 An optional `mask` additionally excludes padded points from every ball
 (an improvement the reference lacks); omit it for strict parity.
@@ -70,30 +86,41 @@ def ball_query(
         mask: optional (B, N) bool; False points are excluded entirely.
 
     Returns:
-        idx: (B, C, K) int32 indices into N.
-        in_ball: (B, C, K) bool — True where the selected point actually
-            lies within the radius (False marks the reference's
-            "filler" selections).
+        idx: (B, C, K) int32 indices into N. Slots beyond a sparse
+            ball's member count repeat the nearest member (see module
+            docstring for why this deviates from the reference).
+        in_ball: (B, C, K) bool — True where the slot is a distinct
+            in-radius selection (False marks repeated-filler slots).
     """
     from pointseg.ops.dispatch import use_pallas
 
+    idx = None
     if mask is None and use_pallas():
         from pointseg.ops.pallas import pick_tile
         from pointseg.ops.pallas.ballquery import ball_query_pallas
 
         if pick_tile(centroids.shape[1], 256) is not None:
-            return ball_query_pallas(centroids, coords, float(radius), K)
+            idx, in_ball = ball_query_pallas(centroids, coords, float(radius), K)
 
-    d2 = pairwise_sqdist(centroids, coords)  # (B, C, N)
-    r2 = jnp.float32(radius) ** 2
-    inside = d2 <= r2
-    if mask is not None:
-        inside = inside & mask[:, None, :]
-    # +inf outside the ball, then pick K smallest (reference common.py:58-61).
-    masked = jnp.where(inside, d2, jnp.inf)
-    neg_top, idx = jax.lax.top_k(-masked, K)  # ties -> lowest index, like torch
-    in_ball = neg_top > -jnp.inf
-    return idx.astype(jnp.int32), in_ball
+    if idx is None:
+        d2 = pairwise_sqdist(centroids, coords)  # (B, C, N)
+        r2 = jnp.float32(radius) ** 2
+        inside = d2 <= r2
+        if mask is not None:
+            inside = inside & mask[:, None, :]
+        # +inf outside, then K smallest (reference common.py:58-61)
+        masked = jnp.where(inside, d2, jnp.inf)
+        neg_top, idx = jax.lax.top_k(-masked, K)  # ties -> lowest index
+        in_ball = neg_top > -jnp.inf
+        idx = idx.astype(jnp.int32)
+
+    # sparse balls: repeat the nearest member instead of admitting the
+    # backend-defined out-of-radius picks (module docstring). Slot 0 is
+    # always in-radius when centroids come from the point set (d²=0);
+    # for a fully-empty ball (only possible with an exclusion mask) the
+    # whole row is fillers and slot 0 passes through unchanged.
+    idx = jnp.where(in_ball, idx, idx[..., :1])
+    return idx, in_ball
 
 
 def group(

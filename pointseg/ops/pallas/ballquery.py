@@ -3,9 +3,12 @@
 The pure-JAX path materializes (B, C, N) distances in HBM and sorts via
 `lax.top_k`. This kernel tiles the centroids, keeps the (TILE, N)
 distance block in VMEM (MXU matmul), masks out-of-radius entries to
-+inf, and selects the K nearest with K iterative argmin passes — same
-"topk over inf admits arbitrary fillers for sparse balls" semantics as
-the reference (common.py:58-61) and the JAX oracle.
+finite index-ordered sentinels, and selects the K nearest with K
+iterative argmin passes. Raw outputs match the JAX oracle's
+topk-over-inf selection (in-radius slots: K nearest; filler slots:
+ascending-index out-of-radius picks); the `ops.ball_query` wrapper then
+replaces filler slots with the nearest member on either path (see
+pointseg/ops/ballquery.py for the semantics rationale).
 """
 
 from __future__ import annotations

@@ -30,6 +30,15 @@ from pointseg.train.logging import MetricsLogger
 from pointseg.train.state import TrainState, eval_step, train_step
 
 
+def _dev(x):
+    """Host batches need the H2D put; device-resident batches (the
+    DeviceEpochLoader path) must pass through UNTOUCHED — on the
+    relayed runtime `jnp.asarray` on an already-committed jax.Array
+    costs a ~45 ms round trip per array per step (measured: 154 vs
+    18 ms/step for the same loop)."""
+    return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
+
 def train_epoch(
     state: TrainState,
     train_loader: Iterable,
@@ -47,11 +56,7 @@ def train_epoch(
     num_batches = 0
     for batch_index, (points, labels, lengths) in enumerate(train_loader):
         state, metrics = train_step(
-            state,
-            jnp.asarray(points),
-            jnp.asarray(labels),
-            jnp.asarray(lengths),
-            rng,
+            state, _dev(points), _dev(labels), _dev(lengths), rng,
         )
         if logger is not None and batch_index % log_interval == 0:
             # host sync only at the log interval
@@ -85,9 +90,7 @@ def evaluate(
     confusion = jnp.zeros((num_classes, num_classes), jnp.int32)
 
     for points, labels, lengths in test_loader:
-        out = eval_step(
-            state, jnp.asarray(points), jnp.asarray(labels), jnp.asarray(lengths)
-        )
+        out = eval_step(state, _dev(points), _dev(labels), _dev(lengths))
         losses.append(out["loss"])
         num_batches += 1
         correct = correct + out["correct"]

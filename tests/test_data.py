@@ -291,3 +291,54 @@ def test_chunked_dataset_on_the_fly_pt(tmp_path, rng):
     ds = ChunkedRoomDataset(str(d), [1], require_index_file=False)
     assert len(ds) == 2
     assert isinstance(ds[0]["y"][0], str)
+
+
+def test_abandoned_loader_reaps_threads(tmp_path, rng):
+    """Breaking out of a Loader mid-epoch (benchmarks, early stop) must
+    not strand the prefetch thread on a full queue or leave reader-pool
+    threads alive — leaked threads contend with the training process."""
+    import threading
+    import time as _time
+
+    d = tmp_path / "area_1"
+    d.mkdir()
+    for i in range(40):
+        pts = rng.normal(size=(64, 9)).astype(np.float32)
+        labs = np.eye(14, dtype=np.uint8)[rng.integers(0, 14, 64)]
+        np.savez(d / f"room1_block{i}.npz", points=pts, labels=labs)
+    ds = BlockDataset(str(tmp_path), {1}, sampling=64)
+    before = threading.active_count()
+    for _ in range(3):  # repeated abandonment must not accumulate threads
+        loader = Loader(ds, 4, prefetch=2, num_workers=4)
+        for _batch in loader:
+            break  # abandon with most of the epoch unread
+        del loader, _batch
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_collate_repeat_pad_mode(rng):
+    """pad_mode='repeat' fills padding with cyclic copies of the block's
+    own points/labels; lengths still mark the real prefix."""
+    batch = [
+        (rng.normal(size=(100, 9)).astype(np.float32),
+         np.eye(14, dtype=np.uint8)[rng.integers(0, 14, 100)]),
+        (rng.normal(size=(256, 9)).astype(np.float32),
+         np.eye(14, dtype=np.uint8)[rng.integers(0, 14, 256)]),
+    ]
+    p, l, n = collate_blocks(batch, pad_to=256, pad_mode="repeat")
+    assert list(n) == [100, 256]
+    # cyclic repetition: row 100+i == row i (mod 100), labels too
+    for i in range(156):
+        np.testing.assert_array_equal(p[0, 100 + i], p[0, i % 100])
+        np.testing.assert_array_equal(l[0, 100 + i], l[0, i % 100])
+    # full block untouched
+    np.testing.assert_array_equal(p[1], batch[1][0])
+    # zero-length fill rows stay all-zero
+    p2, l2, n2 = collate_blocks(batch, pad_to=256, batch_size=3,
+                                pad_mode="repeat")
+    assert n2[2] == 0 and not p2[2].any() and not l2[2].any()
+    with pytest.raises(ValueError):
+        collate_blocks(batch, pad_to=256, pad_mode="mirror")

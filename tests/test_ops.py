@@ -81,6 +81,10 @@ def _np_group(centroids, coords, features, r, K, normalize):
         d2 = np.where(d2 <= r * r, d2, np.inf)
         for c in range(C):
             order = np.argsort(d2[c], kind="stable")[:K]
+            # sparse balls repeat the nearest member (ops.ballquery
+            # filler semantics) instead of admitting out-of-radius picks
+            n_in = int(np.isfinite(d2[c][order]).sum())
+            order[n_in:] = order[0]
             gc = coords[b, order] - centroids[b, c]
             if normalize:
                 gc = gc / r
@@ -126,8 +130,9 @@ def test_group_normalize(rng):
 
 
 def test_ball_query_membership(rng):
-    """Every selected point flagged in_ball really is within the radius,
-    and all in-radius points are preferred over out-of-radius fillers."""
+    """in_ball marks exactly the distinct in-radius selections (leading
+    slots), every selected point is within the radius, and sparse balls
+    fill by repeating the nearest member (slot 0)."""
     coords = rng.normal(size=(1, 64, 3)).astype(np.float32)
     cents = coords[:, :4]
     r, K = 0.7, 8
@@ -136,10 +141,19 @@ def test_ball_query_membership(rng):
     d2 = ((coords[0][None] - cents[0][:, None]) ** 2).sum(-1)
     for c in range(4):
         inside = d2[c] <= r * r
-        sel = idx[0, c]
-        np.testing.assert_array_equal(in_ball[0, c], inside[sel])
         n_inside = int(inside.sum())
-        assert in_ball[0, c].sum() == min(n_inside, K)
+        n_real = min(n_inside, K)
+        # leading slots are the distinct members, the rest are fillers
+        np.testing.assert_array_equal(
+            in_ball[0, c], np.arange(K) < n_real
+        )
+        # every selected point (member or repeated filler) is in-radius
+        assert inside[idx[0, c]].all()
+        # distinct members are distinct; fillers repeat slot 0
+        assert len(set(idx[0, c, :n_real].tolist())) == n_real
+        np.testing.assert_array_equal(
+            idx[0, c, n_real:], np.full(K - n_real, idx[0, c, 0])
+        )
 
 
 def test_ball_query_mask_excludes_points(rng):

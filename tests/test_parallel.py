@@ -118,7 +118,19 @@ def test_tensor_parallel_sharding_rules():
 @pytest.mark.parametrize("model_name", ["PointNet++", "PointNeXt", "DeepGraphCnn"])
 def test_dp_matches_single_device_geometric_models(rng, model_name):
     """GSPMD must be semantics-preserving for the geometric models too
-    (FPS/ball-query/kNN inside the sharded program)."""
+    (FPS/ball-query/kNN inside the sharded program).
+
+    The step uses SGD, not Adam: after one Adam step from a fresh
+    optimizer the update is ~lr·sign(grad), so a gradient element at
+    the f32 reassociation noise floor (different GSPMD partitionings
+    reassociate sums differently) flips a full ±2·lr — amplifying
+    harmless rounding into test failures. With SGD the parameter
+    difference is lr·(grad difference), so the tolerance measures the
+    gradient agreement itself: a genuine semantic divergence (e.g. a
+    selection that changes under sharding) shifts grads by O(1) and
+    params by ~1e-3, far above the 2e-5 bound."""
+    import optax
+
     from pointseg.models import create_model
 
     kwargs = {"k": 8, "emb_dims": 64} if model_name == "DeepGraphCnn" else {}
@@ -127,7 +139,9 @@ def test_dp_matches_single_device_geometric_models(rng, model_name):
 
     def run(n_dev):
         mesh = create_mesh(jax.devices()[:n_dev])
-        state = create_train_state(model, jnp.zeros((8, 64, 9)), seed=0)
+        state = create_train_state(
+            model, jnp.zeros((8, 64, 9)), seed=0, tx=optax.sgd(1e-3)
+        )
         state = shard_state(mesh, state)
         batch = shard_batch(mesh, batch_np)
         state, m = train_step(state, *batch, jax.random.key(0))
@@ -135,8 +149,8 @@ def test_dp_matches_single_device_geometric_models(rng, model_name):
 
     loss1, p1 = run(1)
     loss8, p8 = run(8)
-    assert abs(loss1 - loss8) < 1e-4
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+    assert abs(loss1 - loss8) < 5e-4
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=2e-5)
 
 
 def test_point_axis_sharded_eval_matches_unsharded_geometric(mesh, rng):

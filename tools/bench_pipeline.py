@@ -57,7 +57,9 @@ def main() -> int:
     ap.add_argument("--max-batches", type=int, default=150,
                     help="Cap measured batches per pipeline (full 10k-block "
                          "epochs would take minutes each on the host paths).")
-    ap.add_argument("--workers", type=int, nargs="+", default=[0, 8])
+    ap.add_argument("--workers", type=int, nargs="*", default=[0, 8],
+                    help="host-loader worker counts to measure (empty = "
+                         "skip the host phases)")
     ap.add_argument("--out", default="PIPELINE_BENCH.json")
     args = ap.parse_args()
 
@@ -113,9 +115,11 @@ def main() -> int:
         n_batches = 0
         t0 = time.perf_counter()
         for points, labels, lengths in loader:
+            # device-resident batches must NOT pass through jnp.asarray
+            # (a ~45 ms/array relay round trip); host numpy batches need it
+            dev = lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x)
             state, m = train_step(
-                state, jnp.asarray(points), jnp.asarray(labels),
-                jnp.asarray(lengths), key)
+                state, dev(points), dev(labels), dev(lengths), key)
             n_batches += 1
             if n_batches >= args.max_batches:
                 break
