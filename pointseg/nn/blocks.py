@@ -55,20 +55,19 @@ class GroupedFirstLayer(nn.Module):
 
     @nn.compact
     def __call__(self, centroids, coords, features, train: bool = False, mask=None):
+        from pointseg.ops.gather import gather_rows
+
         idx, _ = ops.ball_query(centroids, coords, self.radius, self.K, mask=mask)
-        rel = (
-            jnp.take_along_axis(coords[:, None, :, :], idx[..., None], axis=2)
-            - centroids[:, :, None, :]
-        )
+        rel = gather_rows(coords, idx) - centroids[:, :, None, :]
         if self.normalize:
             rel = rel / jnp.float32(self.radius)
         rel = rel.astype(self.dtype)
         hfeat = nn.Dense(
             self.width, use_bias=False, dtype=self.dtype, name="w_feat"
         )(features.astype(self.dtype))  # (B, N, h), pre-gather
-        h = jnp.take_along_axis(
-            hfeat[:, None, :, :], idx[..., None], axis=2
-        ) + nn.Dense(self.width, dtype=self.dtype, name="w_rel")(rel)
+        h = gather_rows(hfeat, idx) + nn.Dense(
+            self.width, dtype=self.dtype, name="w_rel"
+        )(rel)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=self.bn_momentum,
             epsilon=1e-5, dtype=self.dtype, name="bn",

@@ -143,13 +143,11 @@ def group(
     Returns:
         (B, C, K, 3 + D) grouped regions, channels-last.
     """
+    from pointseg.ops.gather import gather_rows
+
     idx, _ = ball_query(centroids, coords, radius, K, mask=mask)
-    grouped_coords = jnp.take_along_axis(
-        coords[:, None, :, :], idx[..., None], axis=2
-    )  # (B, C, K, 3)
-    grouped_features = jnp.take_along_axis(
-        features[:, None, :, :], idx[..., None], axis=2
-    )  # (B, C, K, D)
+    grouped_coords = gather_rows(coords, idx)  # (B, C, K, 3)
+    grouped_features = gather_rows(features, idx)  # (B, C, K, D)
     grouped_coords = grouped_coords - centroids[:, :, None, :]
     if normalize:
         grouped_coords = grouped_coords / jnp.float32(radius)

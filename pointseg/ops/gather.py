@@ -1,0 +1,160 @@
+"""Neighbor-row gather with an MXU-matmul backward.
+
+Every geometric block in this framework gathers rows of a per-batch
+feature table by neighbor indices — EdgeConv edge features
+(reference models/dgcnn/dgcnn.py:41-49), SA-stage grouped features
+(models/utils/common.py:62-67), 3-NN interpolation sources. The forward
+gather is cheap (XLA's dynamic-gather runs ~70 GB/s on v5e); the
+BACKWARD is not: autodiff emits a scatter-add, which XLA serializes at
+~13-19 GB/s and which profiling shows is the single largest device
+cost in both DGCNN (~36 ms/step) and PointNet++ (~3.6 ms/step).
+
+`gather_rows` therefore carries a custom VJP that computes the
+cotangent accumulation as a one-hot matmul on the MXU:
+
+    ct_table[b] = one_hot(idx[b]).T @ ct_out[b]
+
+The one-hot operand never materializes — XLA fuses the iota/compare
+into the matmul's operand read. Measured at DGCNN scale
+(B=8, N=4096, E=81920, C=64; SCATTER_BENCH.json):
+
+    xla scatter-add             13.3 ms   exact
+    one-hot f32 (HIGHEST)        8.6 ms   exact products, reassociated
+    one-hot bf16 hi/lo split     6.6 ms   ~4e-5 absolute error
+    sort + sorted-scatter       21.7 ms   (sort dominates)
+
+Strategies (`POINTSEG_SCATTER` env var or `set_scatter_strategy`):
+
+- ``auto`` (default): ``onehot`` on TPU-class backends, ``xla``
+  elsewhere (CPU/GPU scatter-adds are fine, and a dense one-hot
+  contraction on CPU would be far slower).
+- ``onehot``: f32 one-hot matmul at ``Precision.HIGHEST`` — every
+  product is exact, so the result differs from the scatter-add only by
+  summation order (the same class of difference as any XLA fusion
+  change).
+- ``bf16x2``: the updates split into exactly-representable bf16
+  hi/lo halves and accumulate through two full-rate MXU passes
+  (~2x faster than f32-HIGHEST, ~1e-4-relative accuracy — well below
+  the f32 conditioning noise of these models' gradients). The hi half
+  is wrapped in an `optimization_barrier`: XLA's double-rounding
+  simplification otherwise folds ``u - f32(bf16(u))`` to zero and
+  silently degrades the split to plain bf16.
+- ``xla``: the scatter-add autodiff would emit anyway.
+
+Indices are treated as non-differentiable (they are selections).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FORCED: str | None = None
+_VALID = ("auto", "xla", "onehot", "bf16x2")
+
+
+def set_scatter_strategy(value: str | None) -> None:
+    """Force a gather-backward strategy; None restores auto-detection."""
+    global _FORCED
+    if value is not None and value not in _VALID:
+        raise ValueError(f"scatter strategy must be one of {_VALID}")
+    _FORCED = value
+
+
+def scatter_strategy() -> str:
+    s = _FORCED
+    if s is None:
+        s = os.environ.get("POINTSEG_SCATTER", "auto")
+        if s not in _VALID:
+            raise ValueError(
+                f"POINTSEG_SCATTER={s!r}; must be one of {_VALID}"
+            )
+    if s != "auto":
+        return s
+    try:
+        dev = jax.devices()[0]
+        on_tpu = dev.platform in ("tpu", "axon") or "TPU" in getattr(
+            dev, "device_kind", ""
+        )
+    except Exception:
+        on_tpu = False
+    return "onehot" if on_tpu else "xla"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_flat(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table (B, N, C), idx (B, M) int -> (B, M, C)."""
+    return jnp.take_along_axis(table, idx[..., None], axis=1)
+
+
+def _gather_flat_fwd(table, idx):
+    # residual leaves must be JAX types: carry the table dtype in a
+    # zero-size array and its row count as a Python int
+    proto = jnp.zeros((0,), table.dtype)
+    return _gather_flat(table, idx), (idx, table.shape[1], proto)
+
+
+def _scatter_onehot(ct, idx, n_rows):
+    oh = jax.nn.one_hot(idx, n_rows, dtype=jnp.float32)  # fused, not stored
+    return jnp.einsum(
+        "bmn,bmc->bnc",
+        oh,
+        ct.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _scatter_bf16x2(ct, idx, n_rows):
+    oh = jax.nn.one_hot(idx, n_rows, dtype=jnp.bfloat16)
+    ct = ct.astype(jnp.float32)
+    # barrier: see module docstring (XLA folds the split away otherwise)
+    hi = jax.lax.optimization_barrier(ct.astype(jnp.bfloat16))
+    lo = (ct - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+    return (jnp.einsum("bmn,bmc->bnc", oh, hi, **kw)
+            + jnp.einsum("bmn,bmc->bnc", oh, lo, **kw))
+
+
+def _scatter_xla(ct, idx, n_rows):
+    B = ct.shape[0]
+    z = jnp.zeros((B, n_rows, ct.shape[-1]), ct.dtype)
+    return z.at[jnp.arange(B)[:, None], idx].add(ct)
+
+
+def _gather_flat_bwd(res, ct):
+    idx, n_rows, proto = res
+    dtype = proto.dtype
+    strategy = scatter_strategy()
+    if strategy == "onehot":
+        ct_table = _scatter_onehot(ct, idx, n_rows)
+    elif strategy == "bf16x2":
+        ct_table = _scatter_bf16x2(ct, idx, n_rows)
+    else:
+        ct_table = _scatter_xla(ct, idx, n_rows)
+    return ct_table.astype(dtype), np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_flat.defvjp(_gather_flat_fwd, _gather_flat_bwd)
+
+
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gathers rows of a batched table by integer indices.
+
+    Args:
+        table: (B, N, C) feature rows.
+        idx: (B, ...) int32 indices into N (any trailing shape).
+
+    Returns:
+        (B, *idx.shape[1:], C) gathered rows. Differentiable in
+        `table`; the backward runs the strategy-selected MXU scatter
+        (module docstring).
+    """
+    B = table.shape[0]
+    flat = _gather_flat(table, idx.reshape(B, -1))
+    return flat.reshape(*idx.shape, table.shape[-1])

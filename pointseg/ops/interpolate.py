@@ -70,10 +70,10 @@ def interpolate(
     Returns:
         (B, N, D) interpolated features.
     """
+    from pointseg.ops.gather import gather_rows
+
     d2, idx = three_nn(coords_tgt, coords_src, k, src_mask=src_mask)
-    neighbors = jnp.take_along_axis(
-        features[:, None, :, :], idx[..., None], axis=2
-    )  # (B, N, k, D)
+    neighbors = gather_rows(features, idx)  # (B, N, k, D)
     weights = 1.0 / (d2 + eps)  # (B, N, k)
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     return jnp.einsum(

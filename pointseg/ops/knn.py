@@ -79,7 +79,9 @@ def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
         (B, N, k, F)
     """
-    return jnp.take_along_axis(x[:, None, :, :], idx[..., None], axis=2)
+    from pointseg.ops.gather import gather_rows
+
+    return gather_rows(x, idx)
 
 
 def graph_feature(

@@ -283,3 +283,65 @@ def test_ops_jit_compile(rng):
     assert out.shape == (2, 16, 8, 7)
     assert h(feats[:, :16], coords, coords[:, :16]).shape == (2, 64, 4)
     assert k(feats).shape == (2, 64, 4)
+
+
+# ------------------------------------------------------------- gather
+
+def test_gather_rows_forward_matches_take_along_axis(rng):
+    from pointseg.ops.gather import gather_rows
+
+    table = jnp.asarray(rng.normal(size=(2, 40, 6)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, size=(2, 10, 3)).astype(np.int32))
+    want = jnp.take_along_axis(
+        table[:, None, :, :], idx[..., None], axis=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gather_rows(table, idx)), np.asarray(want)
+    )
+
+
+@pytest.mark.parametrize("strategy", ["xla", "onehot", "bf16x2"])
+def test_gather_rows_gradients_match_autodiff(rng, strategy):
+    """Every backward strategy must agree with take_along_axis autodiff
+    (xla exactly; onehot to f32 reassociation; bf16x2 to its split
+    precision)."""
+    from pointseg.ops import gather as G
+
+    table = jnp.asarray(rng.normal(size=(2, 40, 6)).astype(np.float32))
+    # repeated indices so the scatter actually accumulates
+    idx = jnp.asarray(rng.integers(0, 40, size=(2, 64)).astype(np.int32))
+    ct_seed = jnp.asarray(rng.normal(size=(2, 64, 6)).astype(np.float32))
+
+    def loss_ref(t):
+        return jnp.sum(jnp.take_along_axis(t, idx[..., None], axis=1) * ct_seed)
+
+    def loss_got(t):
+        return jnp.sum(G.gather_rows(t, idx) * ct_seed)
+
+    want = np.asarray(jax.grad(loss_ref)(table))
+    G.set_scatter_strategy(strategy)
+    try:
+        got = np.asarray(jax.jit(jax.grad(loss_got))(table))
+    finally:
+        G.set_scatter_strategy(None)
+    tol = {"xla": 0.0, "onehot": 1e-5, "bf16x2": 5e-3}[strategy]
+    if tol == 0.0:
+        np.testing.assert_array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_gather_rows_index_gradient_is_zero_cotangent(rng):
+    """Indices are selections: differentiating a function of gather_rows
+    w.r.t. float inputs that produced indices must not fail (float0
+    cotangent path)."""
+    from pointseg.ops.gather import gather_rows
+
+    table = jnp.asarray(rng.normal(size=(1, 16, 4)).astype(np.float32))
+
+    def f(t):
+        idx = jnp.argsort(t[..., 0], axis=1)[:, :4].astype(jnp.int32)
+        return jnp.sum(gather_rows(t, idx) ** 2)
+
+    g = np.asarray(jax.grad(f)(table))
+    assert np.isfinite(g).all()

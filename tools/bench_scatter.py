@@ -82,6 +82,15 @@ def main() -> int:
                           preferred_element_type=jnp.float32)
 
     @jax.jit
+    def onehot_f32_highest(u, i):
+        # default matmul precision runs bf16 passes on TPU even with an
+        # f32 preferred_element_type; HIGHEST forces true f32 products
+        oh = jax.nn.one_hot(i, N, dtype=jnp.float32)
+        return jnp.einsum("ben,bec->bnc", oh, u,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    @jax.jit
     def onehot_bf16(u, i):
         oh = jax.nn.one_hot(i, N, dtype=jnp.bfloat16)
         return jnp.einsum("ben,bec->bnc", oh, u.astype(jnp.bfloat16),
@@ -111,7 +120,8 @@ def main() -> int:
             indices_are_sorted=True).reshape(B, N, C)
 
     fns = {"plain": plain, "sorted": sorted_scatter,
-           "onehot_f32": onehot_f32, "onehot_bf16": onehot_bf16,
+           "onehot_f32": onehot_f32, "onehot_f32_highest": onehot_f32_highest,
+           "onehot_bf16": onehot_bf16,
            "onehot_bf16x2": onehot_bf16x2, "segsum": segsum}
     want = np.asarray(plain(upd, idx))
     results = {"shape": {"B": B, "N": N, "E": E, "C": C},
@@ -122,6 +132,8 @@ def main() -> int:
         got = np.asarray(out)
         tol = 2e-2 if "bf16" in name else 1e-3
         ok = bool(np.allclose(got, want, rtol=tol, atol=tol))
+        denom = np.abs(want) + 1e-3
+        max_rel = float(np.max(np.abs(got - want) / denom))
         t0 = time.perf_counter()
         for _ in range(args.reps):
             out = fn(upd, idx)
@@ -129,7 +141,7 @@ def main() -> int:
         ms = (time.perf_counter() - t0) / args.reps * 1e3
         gbps = B * E * C * 4 / (ms / 1e3) / 1e9
         results[name] = {"ms": round(ms, 3), "GB_s": round(gbps, 1),
-                         "matches_plain": ok}
+                         "matches_plain": ok, "max_rel_err": max_rel}
         print(json.dumps({name: results[name]}), flush=True)
 
     with open(args.out, "w") as f:
