@@ -325,6 +325,7 @@ def cmd_evaluate(args) -> int:
             class_names,
             window_size=args.window_size,
             overlap=args.overlap,
+            stream=args.stream,
         )
         if args.save_results:
             with open(args.save_results, "w") as f:
@@ -523,6 +524,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Whole-room sliding-window eval over chunked data.")
     p.add_argument("--window-size", type=int, default=4096)
     p.add_argument("--overlap", type=int, default=512)
+    p.add_argument("--stream", choices=["device", "host"], default="device",
+                   help="whole-room windows: 'device' scans them inside "
+                        "one jitted program with the room resident on "
+                        "the chip (one transfer each way per room); "
+                        "'host' is the reference-shaped per-window loop")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("benchmark", help="Micro-benchmark a model.")

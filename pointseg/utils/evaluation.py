@@ -17,7 +17,10 @@ from typing import Callable, Iterable, Sequence
 
 import numpy as np
 
-from pointseg.utils.sliding_window import predict_single_scene
+from pointseg.utils.sliding_window import (
+    predict_single_scene,
+    predict_single_scene_device,
+)
 
 
 def evaluate_rooms(
@@ -27,6 +30,7 @@ def evaluate_rooms(
     window_size: int = 4096,
     overlap: int = 512,
     verbose: bool = True,
+    stream: str = "device",
 ) -> dict:
     """Evaluates a per-window forward fn over whole rooms.
 
@@ -35,7 +39,13 @@ def evaluate_rooms(
         room_loader: yields dicts with 'x' (list of (N, D) arrays) and
             'y' (list of string-label lists) — the chunked/room loaders.
         class_names: label vocabulary (indices = class ids).
+        stream: 'device' (default) keeps each room resident on the chip
+            and scans windows inside one jitted program; 'host' runs
+            the reference-shaped per-window loop. Identical results up
+            to fp reassociation.
     """
+    if stream not in ("device", "host"):
+        raise ValueError("stream must be 'device' or 'host'")
     num_classes = len(class_names)
     name_to_idx = {n: i for i, n in enumerate(class_names)}
 
@@ -51,9 +61,16 @@ def evaluate_rooms(
     for batch in room_loader:
         for points, labels in zip(batch["x"], batch["y"]):
             target = np.array([name_to_idx[l] for l in labels], np.int64)
-            preds, _ = predict_single_scene(
-                forward, np.asarray(points), window_size=window_size, overlap=overlap
-            )
+            if stream == "device":
+                preds, _ = predict_single_scene_device(
+                    forward, np.asarray(points), window_size=window_size,
+                    overlap=overlap, num_classes=num_classes,
+                )
+            else:
+                preds, _ = predict_single_scene(
+                    forward, np.asarray(points), window_size=window_size,
+                    overlap=overlap,
+                )
             correct_mask = preds == target
             total_correct += int(correct_mask.sum())
             total_points += len(target)

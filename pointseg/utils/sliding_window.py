@@ -10,10 +10,24 @@ TPU shape discipline: every window forward uses the SAME static
 (1, window, D) shape — the final short window is zero-padded with a
 length mask instead of being a new shape (the reference lets the last
 window shrink, utils.py:108, which on XLA would mean a recompile).
+
+Two execution paths:
+
+- `predict_single_scene` — the host loop: one device call + one D2H
+  logits copy per window (reference-shaped; kept as the oracle).
+- `predict_single_scene_device` — the streaming path: the whole room
+  ships to HBM ONCE, a `lax.scan` walks every window inside a single
+  jitted program (dynamic_slice window extraction, on-device overlap
+  accumulation), and one D2H returns per-point predictions +
+  confidences. On the relayed TPU runtime each host round-trip costs
+  ~33 ms, so the host loop pays ~66 ms/window while the device path
+  pays the two transfers once per ROOM. Room buffers are bucketed
+  (power-of-two-ish) so each bucket size compiles once.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -66,3 +80,99 @@ def predict_single_scene(
     probs = np.asarray(jax.nn.softmax(jnp.asarray(avg), axis=-1))
     conf = probs[np.arange(n), preds]
     return preds, conf
+
+
+def _bucket(n: int, base: int = 4096, ratio: float = 1.25,
+            quantum: int = 512) -> int:
+    """Rounds a room size up to a GEOMETRIC bucket (x1.25 steps from
+    4096, aligned to 512): compiling the scan program costs tens of
+    seconds per distinct buffer size, so bucket count must stay
+    logarithmic in the room-size range (real rooms span 1e4..3e6
+    points) at the price of <=25% padded — masked — windows."""
+    b = float(base)
+    while b < n:
+        b *= ratio
+    return -(-int(b) // quantum) * quantum
+
+
+@lru_cache(maxsize=None)
+def _device_scene_fn(forward, room_pad: int, window_size: int, step: int,
+                     num_classes: int):
+    """One jitted scan-over-windows program per (forward, buffer size)."""
+    max_windows = max(1, -(-max(room_pad - window_size, 0) // step) + 1)
+
+    @jax.jit
+    def predict(room, n):  # room (R, D) f32 on device, n () int32
+        R, _ = room.shape
+
+        # same schedule as the host loop: range(0, n - W + step, step)
+        # when n > W, else the single start 0
+        n_over = jnp.maximum(n - window_size, 0)
+        num_win = jnp.where(
+            n <= window_size, 1, (n_over + 2 * step - 1) // step
+        )
+
+        def body(carry, i):
+            logits_sum, counts = carry
+            active = i < num_win
+            s = jnp.minimum(i * step, jnp.maximum(R - window_size, 0))
+            win = jax.lax.dynamic_slice(room, (s, 0),
+                                        (window_size, room.shape[1]))
+            wlen = jnp.clip(n - s, 0, window_size)
+            logits = forward(win[None], wlen[None])[0]  # (W, C)
+            m = (jnp.arange(window_size) < wlen) & active
+            seg = jax.lax.dynamic_slice(logits_sum, (s, 0),
+                                        (window_size, num_classes))
+            logits_sum = jax.lax.dynamic_update_slice(
+                logits_sum, seg + jnp.where(m[:, None], logits, 0.0), (s, 0)
+            )
+            cseg = jax.lax.dynamic_slice(counts, (s,), (window_size,))
+            counts = jax.lax.dynamic_update_slice(
+                counts, cseg + m.astype(jnp.float32), (s,)
+            )
+            return (logits_sum, counts), None
+
+        init = (jnp.zeros((R, num_classes), jnp.float32),
+                jnp.zeros((R,), jnp.float32))
+        (logits_sum, counts), _ = jax.lax.scan(
+            body, init, jnp.arange(max_windows)
+        )
+        avg = logits_sum / jnp.maximum(counts, 1.0)[:, None]
+        preds = jnp.argmax(avg, -1).astype(jnp.int32)
+        probs = jax.nn.softmax(avg, -1)
+        conf = jnp.take_along_axis(probs, preds[..., None], axis=-1)[..., 0]
+        return preds, conf
+
+    return predict
+
+
+def predict_single_scene_device(
+    forward: Callable[[jax.Array, jax.Array], jax.Array],
+    points: np.ndarray,
+    window_size: int = 4096,
+    overlap: int = 512,
+    num_classes: int = 14,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming `predict_single_scene`: whole room resident on device.
+
+    Same schedule, same per-window forward, same overlap averaging as
+    the host loop (equal up to fp reassociation — tested), but with ONE
+    host->device transfer and ONE device->host fetch per room instead
+    of two round-trips per window.
+
+    The room buffer is padded past the last window's reach so every
+    `dynamic_slice` start matches the host schedule exactly (a clamped
+    start would silently change window contents).
+    """
+    n, d = points.shape
+    step = window_size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than window_size")
+    # last host start is < n - W + step, so slices reach at most
+    # n + step - 1; pad at least that far before bucketing
+    room_pad = _bucket(max(n + step, window_size))
+    buf = np.zeros((room_pad, d), np.float32)
+    buf[:n] = points
+    fn = _device_scene_fn(forward, room_pad, window_size, step, num_classes)
+    preds, conf = fn(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
+    return np.asarray(preds)[:n], np.asarray(conf)[:n]

@@ -1,11 +1,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pointseg.models import PointNetSeg
 from pointseg.utils.benchmark import benchmark_fn, benchmark_points_per_sec
 from pointseg.utils.memory import format_memory_usage, get_memory_usage
-from pointseg.utils.sliding_window import predict_single_scene
+from pointseg.utils.sliding_window import (
+    predict_single_scene,
+    predict_single_scene_device,
+)
 
 C = 14
 
@@ -83,3 +87,36 @@ def test_visualize_predictions(tmp_path, rng):
     m = rng.integers(0, 50, (C, C))
     p = plot_confusion_matrix(m, save_path=str(tmp_path / "c.png"))
     assert (tmp_path / "c.png").exists()
+
+
+@pytest.mark.parametrize("n", [40, 64, 100, 200, 313])
+def test_device_stream_matches_host_loop(rng, n):
+    """The device-resident scan-over-windows path must reproduce the
+    host per-window loop — same schedule, same masked forwards, same
+    overlap averaging — for every size regime: sub-window, exactly one
+    window, multi-window divisible and not."""
+    fwd = _forward()
+    pts = rng.normal(size=(n, 9)).astype(np.float32)
+    want_p, want_c = predict_single_scene(fwd, pts, window_size=64, overlap=16)
+    got_p, got_c = predict_single_scene_device(
+        fwd, pts, window_size=64, overlap=16, num_classes=C
+    )
+    np.testing.assert_array_equal(got_p, want_p)
+    np.testing.assert_allclose(got_c, want_c, atol=1e-5)
+
+
+def test_device_stream_bucket_reuse(rng):
+    """Rooms within the same size bucket reuse one compiled program."""
+    from pointseg.utils.sliding_window import _bucket, _device_scene_fn
+
+    assert _bucket(1) == 4096
+    assert _bucket(4096) == 4096
+    assert _bucket(4097) == 5120  # next geometric step, 512-aligned
+    # geometric growth keeps the compile count logarithmic
+    assert _bucket(3_000_000) / 3_000_000 < 1.25
+    fwd = _forward()
+    before = _device_scene_fn.cache_info().misses
+    for n in (70, 90, 110):  # all land in the same bucket
+        predict_single_scene_device(fwd, rng.normal(size=(n, 9)).astype(np.float32),
+                                    window_size=64, overlap=16, num_classes=C)
+    assert _device_scene_fn.cache_info().misses == before + 1
