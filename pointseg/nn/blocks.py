@@ -254,6 +254,7 @@ class EdgeConv(nn.Module):
     k: int = 20
     dtype: Any = jnp.float32
     fused: bool = True
+    remat: bool = False  # trade +22% step time for -1.5 GB temporaries
 
     @nn.compact
     def __call__(self, x, train: bool = False, knn_on=None, mask=None):
@@ -273,12 +274,24 @@ class EdgeConv(nn.Module):
             edges = leaky_relu_02(edges)
             return jnp.max(edges, axis=2)  # (B, N, out)
 
-        gp = ops.gather_neighbors(p, idx)  # consumed only by reductions
-        g_max = jnp.max(gp, axis=2)
-        g_min = jnp.min(gp, axis=2)
+        def gather_reduce(p_, idx_):
+            gp = ops.gather_neighbors(p_, idx_)
+            out = (jnp.max(gp, axis=2), jnp.min(gp, axis=2))
+            if train:
+                out += (jnp.sum(gp, axis=2), jnp.sum(gp * gp, axis=2))
+            return out
+
+        # `remat` re-gathers in the backward instead of saving the
+        # (B, N, k, out) tensor as the max/min VJP residual: -1.5 GB of
+        # step temporaries at DGCNN scale (4.8 -> 3.2 GB) but +22% step
+        # time (122 -> 149 ms, paired A/B on chip). Off by default — the
+        # default shapes fit HBM comfortably; turn on for bigger B*N*k.
+        if self.remat:
+            gather_reduce = jax.checkpoint(gather_reduce)
+        reduced = gather_reduce(p, idx)
+        g_max, g_min = reduced[0], reduced[1]
         if train:
-            s = jnp.sum(gp, axis=2)                     # (B, N, out)
-            q = jnp.sum(gp * gp, axis=2)                # (B, N, out)
+            s, q = reduced[2], reduced[3]               # (B, N, out)
             count = p.shape[0] * p.shape[1] * self.k
             mean = jnp.sum(s + self.k * d, axis=(0, 1)) / count
             ex2 = jnp.sum(q + 2.0 * d * s + self.k * d * d, axis=(0, 1)) / count
