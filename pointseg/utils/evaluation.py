@@ -18,8 +18,10 @@ from typing import Callable, Iterable, Sequence
 import numpy as np
 
 from pointseg.utils.sliding_window import (
+    _bucket,
+    _device_scene_confusion_fn,
+    confusion_to_metrics,
     predict_single_scene,
-    predict_single_scene_device,
 )
 
 
@@ -46,57 +48,98 @@ def evaluate_rooms(
     """
     if stream not in ("device", "host"):
         raise ValueError("stream must be 'device' or 'host'")
+    import jax.numpy as jnp
+
     num_classes = len(class_names)
     name_to_idx = {n: i for i, n in enumerate(class_names)}
-
-    total_correct = 0
-    total_points = 0
-    class_correct = np.zeros(num_classes)
-    class_total = np.zeros(num_classes)
-    intersections = np.zeros(num_classes)
-    unions = np.zeros(num_classes)
+    step = window_size - overlap
 
     t0 = time.time()
     rooms = 0
-    for batch in room_loader:
-        for points, labels in zip(batch["x"], batch["y"]):
-            target = np.array([name_to_idx[l] for l in labels], np.int64)
-            if stream == "device":
-                preds, _ = predict_single_scene_device(
-                    forward, np.asarray(points), window_size=window_size,
-                    overlap=overlap, num_classes=num_classes,
+    if stream == "device":
+        # fully asynchronous pipeline: every room is ONE fused H2D
+        # (labels packed as the last channel), windows scan on device,
+        # and (target, pred) pairs bin-count into a device-resident
+        # (C, C) confusion matrix — the sufficient statistic for every
+        # reported metric. Nothing blocks until the final fetch (a
+        # periodic sync bounds in-flight transfer memory).
+        confusion = jnp.zeros((num_classes, num_classes), jnp.int32)
+        for batch in room_loader:
+            for points, labels in zip(batch["x"], batch["y"]):
+                points = np.asarray(points, np.float32)
+                target = np.array(
+                    [name_to_idx[l] for l in labels], np.float32
                 )
-            else:
+                n, d = points.shape
+                room_pad = _bucket(max(n + step, window_size))
+                buf = np.full((room_pad, d + 1), -1.0, np.float32)
+                buf[:n, :d] = points
+                buf[:n, d] = target
+                buf[n:, :d] = 0.0
+                fn = _device_scene_confusion_fn(
+                    forward, room_pad, window_size, step, num_classes
+                )
+                confusion = fn(
+                    jnp.asarray(buf), jnp.asarray(n, jnp.int32), confusion
+                )
+                rooms += 1
+                if rooms % 8 == 0:
+                    # bound in-flight transfers; a host fetch, because
+                    # block_until_ready does not block on the relay
+                    import jax
+
+                    jax.device_get(confusion.ravel()[0])
+                if verbose and rooms % 10 == 0:
+                    print(f"Processed {rooms} rooms", flush=True)
+        results = confusion_to_metrics(np.asarray(confusion))
+        results["class_names"] = list(class_names)
+        results["evaluation_time"] = time.time() - t0
+        class_accuracies = np.array(results["class_accuracies"])
+        class_ious = np.array(results["class_ious"])
+        total_points = results["total_points"]
+    else:
+        total_correct = 0
+        total_points = 0
+        class_correct = np.zeros(num_classes)
+        class_total = np.zeros(num_classes)
+        intersections = np.zeros(num_classes)
+        unions = np.zeros(num_classes)
+
+        for batch in room_loader:
+            for points, labels in zip(batch["x"], batch["y"]):
+                target = np.array([name_to_idx[l] for l in labels], np.int64)
                 preds, _ = predict_single_scene(
                     forward, np.asarray(points), window_size=window_size,
                     overlap=overlap,
                 )
-            correct_mask = preds == target
-            total_correct += int(correct_mask.sum())
-            total_points += len(target)
-            for c in range(num_classes):
-                cm = target == c
-                class_total[c] += int(cm.sum())
-                class_correct[c] += int((correct_mask & cm).sum())
-                pm = preds == c
-                intersections[c] += int(np.logical_and(pm, cm).sum())
-                unions[c] += int(np.logical_or(pm, cm).sum())
-            rooms += 1
-            if verbose and rooms % 10 == 0:
-                print(f"Processed {rooms} rooms", flush=True)
+                correct_mask = preds == target
+                total_correct += int(correct_mask.sum())
+                total_points += len(target)
+                for c in range(num_classes):
+                    cm = target == c
+                    class_total[c] += int(cm.sum())
+                    class_correct[c] += int((correct_mask & cm).sum())
+                    pm = preds == c
+                    intersections[c] += int(np.logical_and(pm, cm).sum())
+                    unions[c] += int(np.logical_or(pm, cm).sum())
+                rooms += 1
+                if verbose and rooms % 10 == 0:
+                    print(f"Processed {rooms} rooms", flush=True)
 
-    class_accuracies = np.where(class_total > 0, class_correct / np.maximum(class_total, 1), 0.0)
-    class_ious = np.where(unions > 0, intersections / np.maximum(unions, 1), 0.0)
-    results = {
-        "overall_accuracy": total_correct / max(total_points, 1),
-        "mean_class_accuracy": float(class_accuracies.mean()),
-        "mean_iou": float(class_ious.mean()),
-        "class_accuracies": class_accuracies.tolist(),
-        "class_ious": class_ious.tolist(),
-        "class_names": list(class_names),
-        "total_points": total_points,
-        "evaluation_time": time.time() - t0,
-    }
+        class_accuracies = np.where(
+            class_total > 0, class_correct / np.maximum(class_total, 1), 0.0)
+        class_ious = np.where(
+            unions > 0, intersections / np.maximum(unions, 1), 0.0)
+        results = {
+            "overall_accuracy": total_correct / max(total_points, 1),
+            "mean_class_accuracy": float(class_accuracies.mean()),
+            "mean_iou": float(class_ious.mean()),
+            "class_accuracies": class_accuracies.tolist(),
+            "class_ious": class_ious.tolist(),
+            "class_names": list(class_names),
+            "total_points": total_points,
+            "evaluation_time": time.time() - t0,
+        }
     if verbose:
         print("\n" + "=" * 60)
         print("EVALUATION RESULTS")

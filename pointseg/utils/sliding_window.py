@@ -97,9 +97,16 @@ def _bucket(n: int, base: int = 4096, ratio: float = 1.25,
 
 @lru_cache(maxsize=None)
 def _device_scene_fn(forward, room_pad: int, window_size: int, step: int,
-                     num_classes: int):
-    """One jitted scan-over-windows program per (forward, buffer size)."""
+                     num_classes: int, group: int = 8):
+    """One jitted scan-over-windows program per (forward, buffer size).
+
+    Windows run `group` at a time as one batched forward: the Pallas
+    selection kernels pad any batch up to 8 sublanes anyway, so a
+    batch-1 window forward wastes 8x kernel compute — grouping turns
+    that padding into real work and amortizes per-call overheads.
+    """
     max_windows = max(1, -(-max(room_pad - window_size, 0) // step) + 1)
+    n_groups = -(-max_windows // group)
 
     @jax.jit
     def predict(room, n):  # room (R, D) f32 on device, n () int32
@@ -112,30 +119,39 @@ def _device_scene_fn(forward, room_pad: int, window_size: int, step: int,
             n <= window_size, 1, (n_over + 2 * step - 1) // step
         )
 
-        def body(carry, i):
+        def body(carry, g):
             logits_sum, counts = carry
-            active = i < num_win
-            s = jnp.minimum(i * step, jnp.maximum(R - window_size, 0))
-            win = jax.lax.dynamic_slice(room, (s, 0),
-                                        (window_size, room.shape[1]))
-            wlen = jnp.clip(n - s, 0, window_size)
-            logits = forward(win[None], wlen[None])[0]  # (W, C)
-            m = (jnp.arange(window_size) < wlen) & active
-            seg = jax.lax.dynamic_slice(logits_sum, (s, 0),
-                                        (window_size, num_classes))
-            logits_sum = jax.lax.dynamic_update_slice(
-                logits_sum, seg + jnp.where(m[:, None], logits, 0.0), (s, 0)
-            )
-            cseg = jax.lax.dynamic_slice(counts, (s,), (window_size,))
-            counts = jax.lax.dynamic_update_slice(
-                counts, cseg + m.astype(jnp.float32), (s,)
-            )
+            win_ids = g * group + jnp.arange(group)          # (G,)
+            active = win_ids < num_win
+            starts = jnp.minimum(win_ids * step,
+                                 jnp.maximum(R - window_size, 0))
+            wins = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    room, (s, 0), (window_size, room.shape[1]))
+            )(starts)                                        # (G, W, D)
+            wlens = jnp.clip(n - starts, 0, window_size)
+            logits = forward(wins, wlens)                    # (G, W, C)
+            masks = (jnp.arange(window_size)[None, :] < wlens[:, None]) \
+                & active[:, None]                            # (G, W)
+            # windows within a group can overlap, so accumulate them
+            # sequentially (G static, unrolled)
+            for j in range(group):
+                s = starts[j]
+                m = masks[j]
+                seg = jax.lax.dynamic_slice(
+                    logits_sum, (s, 0), (window_size, num_classes))
+                logits_sum = jax.lax.dynamic_update_slice(
+                    logits_sum,
+                    seg + jnp.where(m[:, None], logits[j], 0.0), (s, 0))
+                cseg = jax.lax.dynamic_slice(counts, (s,), (window_size,))
+                counts = jax.lax.dynamic_update_slice(
+                    counts, cseg + m.astype(jnp.float32), (s,))
             return (logits_sum, counts), None
 
         init = (jnp.zeros((R, num_classes), jnp.float32),
                 jnp.zeros((R,), jnp.float32))
         (logits_sum, counts), _ = jax.lax.scan(
-            body, init, jnp.arange(max_windows)
+            body, init, jnp.arange(n_groups)
         )
         avg = logits_sum / jnp.maximum(counts, 1.0)[:, None]
         preds = jnp.argmax(avg, -1).astype(jnp.int32)
@@ -176,3 +192,59 @@ def predict_single_scene_device(
     fn = _device_scene_fn(forward, room_pad, window_size, step, num_classes)
     preds, conf = fn(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
     return np.asarray(preds)[:n], np.asarray(conf)[:n]
+
+
+@lru_cache(maxsize=None)
+def _device_scene_confusion_fn(forward, room_pad: int, window_size: int,
+                               step: int, num_classes: int):
+    """Streaming whole-room CONFUSION-MATRIX accumulator.
+
+    Wraps the window scan of `_device_scene_fn` but, instead of
+    returning per-point predictions (a ~33 ms D2H relay fetch per
+    room), bin-counts (target, argmax-prediction) pairs into a (C, C)
+    confusion matrix ON DEVICE and adds it to a running total. The
+    confusion matrix is a sufficient statistic for every whole-room
+    metric the reference reports (overall accuracy = trace/total,
+    class accuracy = diag/rowsum, IoU = diag/(row+col-diag)), so one
+    room costs ONE fused H2D transfer (labels packed as an extra
+    channel of the room buffer) and the only fetch is the final (C, C)
+    matrix after ALL rooms.
+    """
+    inner = _device_scene_fn(forward, room_pad, window_size, step,
+                             num_classes)
+
+    @jax.jit
+    def accumulate(room_and_labels, n, confusion):
+        room = room_and_labels[:, :-1]
+        target = room_and_labels[:, -1].astype(jnp.int32)
+        preds, _ = inner(room, n)
+        valid = (jnp.arange(room.shape[0]) < n) & (target >= 0)
+        flat = jnp.where(valid, target * num_classes + preds, 0)
+        upd = jnp.zeros((num_classes * num_classes,), jnp.int32).at[flat].add(
+            valid.astype(jnp.int32)
+        )
+        return confusion + upd.reshape(num_classes, num_classes)
+
+    return accumulate
+
+
+def confusion_to_metrics(confusion: np.ndarray) -> dict:
+    """Whole-room metrics from a confusion matrix (rows=target,
+    cols=prediction) — same definitions as the reference's
+    evaluate_model (models/dgcnn/utils.py:214-258)."""
+    conf = np.asarray(confusion, np.float64)
+    diag = np.diag(conf)
+    row = conf.sum(1)
+    col = conf.sum(0)
+    union = row + col - diag
+    class_acc = np.where(row > 0, diag / np.maximum(row, 1), 0.0)
+    class_iou = np.where(union > 0, diag / np.maximum(union, 1), 0.0)
+    total = conf.sum()
+    return {
+        "overall_accuracy": float(diag.sum() / max(total, 1)),
+        "mean_class_accuracy": float(class_acc.mean()),
+        "mean_iou": float(class_iou.mean()),
+        "class_accuracies": class_acc.tolist(),
+        "class_ious": class_iou.tolist(),
+        "total_points": int(total),
+    }

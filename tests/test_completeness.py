@@ -134,3 +134,32 @@ def test_example_scripts_run(script, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "First" in out.stdout
+
+
+def test_evaluate_rooms_device_stream_matches_host(chunk_dir):
+    """The on-device confusion-matrix accumulation path must report the
+    same metrics as the reference-shaped host per-window loop for a
+    real (deterministic) model."""
+    import jax
+
+    from pointseg.data.s3dis import S3DIS_CLASSES
+
+    ds = ChunkedRoomDataset(chunk_dir, [6])
+    model = PointNetSeg(num_classes=14, in_dim=6)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 128, 6)))
+
+    @jax.jit
+    def forward(points, lengths):
+        return model.apply(variables, points, train=False)
+
+    kw = dict(window_size=128, overlap=32, verbose=False)
+    host = evaluate_rooms(forward, ListLoader(ds, batch_size=1),
+                          S3DIS_CLASSES, stream="host", **kw)
+    dev = evaluate_rooms(forward, ListLoader(ds, batch_size=1),
+                         S3DIS_CLASSES, stream="device", **kw)
+    assert dev["total_points"] == host["total_points"]
+    assert dev["overall_accuracy"] == pytest.approx(
+        host["overall_accuracy"], abs=1e-6)
+    assert dev["mean_iou"] == pytest.approx(host["mean_iou"], abs=1e-6)
+    assert dev["class_accuracies"] == pytest.approx(
+        host["class_accuracies"], abs=1e-6)
