@@ -97,16 +97,26 @@ def _bucket(n: int, base: int = 4096, ratio: float = 1.25,
 
 @lru_cache(maxsize=None)
 def _device_scene_fn(forward, room_pad: int, window_size: int, step: int,
-                     num_classes: int, group: int = 8):
+                     num_classes: int, group: int = 8, mesh=None):
     """One jitted scan-over-windows program per (forward, buffer size).
 
     Windows run `group` at a time as one batched forward: the Pallas
     selection kernels pad any batch up to 8 sublanes anyway, so a
     batch-1 window forward wastes 8x kernel compute — grouping turns
     that padding into real work and amortizes per-call overheads.
+
+    With a `mesh`, the group axis shards across its 'data' axis — the
+    spatial "context parallel" of SURVEY.md §5: each chip forwards its
+    share of the room's windows, the room array is replicated, and the
+    overlap accumulation stays replicated (windows are independent, so
+    the only communication is the logits all-gather XLA inserts).
     """
     max_windows = max(1, -(-max(room_pad - window_size, 0) // step) + 1)
     n_groups = -(-max_windows // group)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        win_sharding = NamedSharding(mesh, PartitionSpec("data", None, None))
 
     @jax.jit
     def predict(room, n):  # room (R, D) f32 on device, n () int32
@@ -130,6 +140,8 @@ def _device_scene_fn(forward, room_pad: int, window_size: int, step: int,
                     room, (s, 0), (window_size, room.shape[1]))
             )(starts)                                        # (G, W, D)
             wlens = jnp.clip(n - starts, 0, window_size)
+            if mesh is not None:
+                wins = jax.lax.with_sharding_constraint(wins, win_sharding)
             logits = forward(wins, wlens)                    # (G, W, C)
             masks = (jnp.arange(window_size)[None, :] < wlens[:, None]) \
                 & active[:, None]                            # (G, W)
@@ -168,6 +180,7 @@ def predict_single_scene_device(
     window_size: int = 4096,
     overlap: int = 512,
     num_classes: int = 14,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Streaming `predict_single_scene`: whole room resident on device.
 
@@ -189,7 +202,8 @@ def predict_single_scene_device(
     room_pad = _bucket(max(n + step, window_size))
     buf = np.zeros((room_pad, d), np.float32)
     buf[:n] = points
-    fn = _device_scene_fn(forward, room_pad, window_size, step, num_classes)
+    fn = _device_scene_fn(forward, room_pad, window_size, step, num_classes,
+                          mesh=mesh)
     preds, conf = fn(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
     return np.asarray(preds)[:n], np.asarray(conf)[:n]
 

@@ -172,3 +172,27 @@ def test_point_axis_sharded_eval_matches_unsharded_geometric(mesh, rng):
     sharded = jax.device_put(pts, NamedSharding(mesh, P(None, "data")))
     out = np.asarray(fwd(variables, sharded))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_window_group_sharded_room_eval_matches_unsharded(mesh, rng):
+    """Whole-room streaming eval with the window-group axis sharded over
+    the mesh (spatial context parallelism) must match the unsharded
+    streaming result exactly — windows are independent work items."""
+    from pointseg.utils.sliding_window import predict_single_scene_device
+
+    model = PointNetSeg(num_classes=C)
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.zeros((1, 64, 9)))
+
+    @jax.jit
+    def fwd(points, lengths):
+        return model.apply(variables, points, train=False)
+
+    pts = rng.normal(size=(900, 9)).astype(np.float32)
+    p1, c1 = predict_single_scene_device(fwd, pts, window_size=64,
+                                         overlap=16, num_classes=C)
+    p8, c8 = predict_single_scene_device(fwd, pts, window_size=64,
+                                         overlap=16, num_classes=C,
+                                         mesh=mesh)
+    np.testing.assert_array_equal(p8, p1)
+    np.testing.assert_allclose(c8, c1, atol=1e-5)
