@@ -127,7 +127,31 @@ def make_torch_model(args):
     if args.model == "PointNet++":
         from models.PointNetpp.PointNetpp import PointNetpp as Ref
         return Ref(part_classes=14)
+    if args.model == "PointNeXt":
+        from models.PointNeXt.PointNeXt import PointNeXt as Ref
+        return Ref(part_classes=14)
+    if args.model == "DeepGraphCnn":
+        from models.dgcnn.dgcnn import DGCNNWithColor as Ref
+        return Ref(num_classes=14)
     raise SystemExit(f"unsupported reference model {args.model}")
+
+
+def _call_torch(args, model, pts):
+    """Invokes the reference model with its own input convention.
+
+    The modern-stack models take (B, N, 9) channels-last; the
+    reference's DGCNNWithColor instead wants (B, 6, N) xyz+rgb and
+    returns a (logits, features, trans_feat) tuple — its own train.py
+    actually crashes on it (dgcnn.py:222-223), so this adapter is what
+    any reference user must write to train it at all. The pointseg side
+    slices the same first 6 channels internally, so both frameworks see
+    identical information."""
+    import torch
+
+    if args.model == "DeepGraphCnn":
+        x = torch.tensor(pts[..., :6]).transpose(1, 2).contiguous()
+        return model(x)[0]
+    return model(torch.tensor(pts))
 
 
 def train_torch(args, model, epochs, test_batches, train_seed=None):
@@ -146,7 +170,7 @@ def train_torch(args, model, epochs, test_batches, train_seed=None):
     for ep, batches in enumerate(epochs):
         for pts, onehot, lengths in batches:
             opt.zero_grad()
-            out = model(torch.tensor(pts))
+            out = _call_torch(args, model, pts)
             loss = ref_ce(out, torch.tensor(onehot.astype(np.float32)),
                           torch.tensor(lengths))
             loss.backward()
@@ -159,7 +183,8 @@ def train_torch(args, model, epochs, test_batches, train_seed=None):
     m = {}
     with torch.no_grad():
         for regime, batches in test_batches.items():
-            logits = [model(torch.tensor(p)).numpy() for p, _, _ in batches]
+            logits = [_call_torch(args, model, p).numpy()
+                      for p, _, _ in batches]
             m[regime] = eval_metrics(
                 logits, [b[1] for b in batches], [b[2] for b in batches])
     m["train_seconds"] = round(train_s, 1)
@@ -238,7 +263,8 @@ def train_pointseg(args, epochs, test_batches, init_state_dict=None,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="PointNet",
-                    choices=["PointNet", "PointNet++"])
+                    choices=["PointNet", "PointNet++", "PointNeXt",
+                             "DeepGraphCnn"])
     ap.add_argument("--data-dir", default="/tmp/pointseg_train_parity")
     ap.add_argument("--rooms-per-area", type=int, default=4)
     ap.add_argument("--points-per-room", type=int, default=20000)
