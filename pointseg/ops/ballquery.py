@@ -36,8 +36,34 @@ An optional `mask` additionally excludes padded points from every ball
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+_FILLER_FORCED: str | None = None
+
+
+def set_filler_mode(value: str | None) -> None:
+    """Force sparse-ball filler semantics; None restores the default.
+
+    'repeat' (default): repeat the nearest member (standard PointNet++).
+    'index': lowest-index out-of-radius points — a deterministic stand-in
+    for the reference's backend-defined topk-over-inf picks, for
+    experiments that need out-of-radius filler features (measured: on
+    synthetic geometry-derived labels those arbitrary-far-point features
+    are informative and lift ball-query-heavy models; see CLAUDE.md).
+    """
+    global _FILLER_FORCED
+    if value is not None and value not in ("repeat", "index"):
+        raise ValueError("filler mode must be 'repeat' or 'index'")
+    _FILLER_FORCED = value
+
+
+def filler_mode() -> str:
+    if _FILLER_FORCED is not None:
+        return _FILLER_FORCED
+    return os.environ.get("POINTSEG_BQ_FILLER", "repeat")
 
 
 def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -119,7 +145,10 @@ def ball_query(
     # always in-radius when centroids come from the point set (d²=0);
     # for a fully-empty ball (only possible with an exclusion mask) the
     # whole row is fillers and slot 0 passes through unchanged.
-    idx = jnp.where(in_ball, idx, idx[..., :1])
+    # 'index' mode keeps the raw lowest-index out-of-radius picks (both
+    # paths already emit them in ascending index order).
+    if filler_mode() == "repeat":
+        idx = jnp.where(in_ball, idx, idx[..., :1])
     return idx, in_ball
 
 

@@ -345,3 +345,25 @@ def test_gather_rows_index_gradient_is_zero_cotangent(rng):
 
     g = np.asarray(jax.grad(f)(table))
     assert np.isfinite(g).all()
+
+
+def test_ball_query_index_filler_mode(rng):
+    """'index' filler mode keeps the deterministic lowest-index
+    out-of-radius picks (the pre-round-2 behavior, for experiments)."""
+    from pointseg.ops.ballquery import set_filler_mode
+
+    coords = rng.normal(size=(1, 64, 3)).astype(np.float32)
+    cents = coords[:, :4]
+    r, K = 0.7, 8
+    set_filler_mode("index")
+    try:
+        idx, in_ball = ops.ball_query(jnp.array(cents), jnp.array(coords), r, K)
+    finally:
+        set_filler_mode(None)
+    idx, in_ball = np.asarray(idx), np.asarray(in_ball)
+    d2 = ((coords[0][None] - cents[0][:, None]) ** 2).sum(-1)
+    for c in range(4):
+        outside = np.where(d2[c] > r * r)[0]
+        n_real = int(in_ball[0, c].sum())
+        # fillers are the lowest-index out-of-radius points, ascending
+        np.testing.assert_array_equal(idx[0, c, n_real:], outside[: K - n_real])
