@@ -54,7 +54,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _FORCED: str | None = None
-_VALID = ("auto", "xla", "onehot", "bf16x2")
+_VALID = ("auto", "xla", "onehot", "onehot_t", "bf16x2")
 
 
 def set_scatter_strategy(value: str | None) -> None:
@@ -109,6 +109,22 @@ def _scatter_onehot(ct, idx, n_rows):
     )
 
 
+def _scatter_onehot_t(ct, idx, n_rows):
+    # Same contraction with the one-hot built PRE-TRANSPOSED (B, n, m):
+    # the comparison broadcast fuses into the operand read either way,
+    # but this orientation lets XLA consume ct (B, m, c) with its
+    # contraction dim already row-major — probing whether the profiled
+    # 167-335 MB cotangent layout copies disappear.
+    oh = (idx[:, None, :] == jnp.arange(n_rows, dtype=idx.dtype)[None, :, None])
+    return jnp.einsum(
+        "bnm,bmc->bnc",
+        oh.astype(jnp.float32),
+        ct.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _scatter_bf16x2(ct, idx, n_rows):
     oh = jax.nn.one_hot(idx, n_rows, dtype=jnp.bfloat16)
     ct = ct.astype(jnp.float32)
@@ -133,6 +149,8 @@ def _gather_flat_bwd(res, ct):
     strategy = scatter_strategy()
     if strategy == "onehot":
         ct_table = _scatter_onehot(ct, idx, n_rows)
+    elif strategy == "onehot_t":
+        ct_table = _scatter_onehot_t(ct, idx, n_rows)
     elif strategy == "bf16x2":
         ct_table = _scatter_bf16x2(ct, idx, n_rows)
     else:

@@ -228,7 +228,10 @@ def quick_test_model(
     model = DGCNNWithColor(num_classes=num_classes, k=k, emb_dims=emb_dims)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, n_points, 6)).astype(np.float32))
-    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    # jitted: eager init is ~3 ms/op over the relayed TPU runtime
+    variables = jax.jit(
+        lambda k, x: model.init({"params": k}, x, train=False)
+    )(jax.random.key(0), x)
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     t0 = time.time()

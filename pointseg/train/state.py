@@ -79,10 +79,15 @@ def create_train_state(
     seed: int = 0,
 ) -> TrainState:
     """Initializes params/BN stats and the Adam optimizer
-    (reference uses Adam(lr=1e-3), train.py:17,79)."""
-    variables = model.init(
-        {"params": jax.random.key(seed)}, example_points, train=False
-    )
+    (reference uses Adam(lr=1e-3), train.py:17,79).
+
+    The init is jitted: eager (op-by-op) execution over the relayed TPU
+    runtime costs a ~3 ms round trip per op, which turns model.init
+    into minutes for the deeper models (measured round 2; CLAUDE.md
+    "Environment gotchas")."""
+    variables = jax.jit(
+        lambda k, x: model.init({"params": k}, x, train=False)
+    )(jax.random.key(seed), example_points)
     tx = tx if tx is not None else make_optimizer(learning_rate)
     params = variables["params"]
     return TrainState(

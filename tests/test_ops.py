@@ -300,7 +300,7 @@ def test_gather_rows_forward_matches_take_along_axis(rng):
     )
 
 
-@pytest.mark.parametrize("strategy", ["xla", "onehot", "bf16x2"])
+@pytest.mark.parametrize("strategy", ["xla", "onehot", "onehot_t", "bf16x2"])
 def test_gather_rows_gradients_match_autodiff(rng, strategy):
     """Every backward strategy must agree with take_along_axis autodiff
     (xla exactly; onehot to f32 reassociation; bf16x2 to its split
@@ -324,7 +324,7 @@ def test_gather_rows_gradients_match_autodiff(rng, strategy):
         got = np.asarray(jax.jit(jax.grad(loss_got))(table))
     finally:
         G.set_scatter_strategy(None)
-    tol = {"xla": 0.0, "onehot": 1e-5, "bf16x2": 5e-3}[strategy]
+    tol = {"xla": 0.0, "onehot": 1e-5, "onehot_t": 1e-5, "bf16x2": 5e-3}[strategy]
     if tol == 0.0:
         np.testing.assert_array_equal(got, want)
     else:
