@@ -110,14 +110,26 @@ def main() -> int:
     results["step_points_per_sec"] = round(step_pps)
     print(f"step-only: {step_pps / 1e6:.2f}M pts/s", flush=True)
 
+    dev = lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x)
+
     def run_epoch(loader, tag):
         nonlocal state
+        # Warm the full path (jit compiles for this loader's shapes/dtypes
+        # + thread spin-up) OUTSIDE the timed window: the round-2 capture
+        # timed the device sampler's ~25 s first-call compile into a
+        # 2.4 s epoch and reported 0.10x of step throughput for a
+        # pipeline that actually runs at ~0.95x.
+        warm_iter = iter(loader)
+        points, labels, lengths = next(warm_iter)
+        state, m = train_step(state, dev(points), dev(labels), dev(lengths), key)
+        sync(m["loss"])
+        del warm_iter
+
         n_batches = 0
         t0 = time.perf_counter()
         for points, labels, lengths in loader:
             # device-resident batches must NOT pass through jnp.asarray
             # (a ~45 ms/array relay round trip); host numpy batches need it
-            dev = lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x)
             state, m = train_step(
                 state, dev(points), dev(labels), dev(lengths), key)
             n_batches += 1
@@ -138,6 +150,18 @@ def main() -> int:
         run_epoch(Loader(ds, B, shuffle=True, pad_to=N, num_workers=w,
                          drop_last=True),
                   f"host_w{w}")
+
+    # ---- host loader + chunked H2D prefetch (amortizes the ~30 ms
+    # per-transfer relay latency over `chunk` batches) ----
+    if args.workers:
+        from pointseg.data.device import ChunkedDevicePrefetcher
+
+        w = max(args.workers)
+        ds = BlockDataset(args.data_dir, {1}, sampling=N)
+        run_epoch(ChunkedDevicePrefetcher(
+            Loader(ds, B, shuffle=True, pad_to=N, num_workers=w,
+                   drop_last=True), chunk=8),
+                  f"host_w{w}_chunked")
 
     # ---- device-resident ----
     raw = BlockDataset(args.data_dir, {1}, sampling=None)

@@ -29,7 +29,21 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tools.xplane import op_totals, parse_xspace  # noqa: E402
+from tools.xplane import line_busy, op_totals, parse_xspace  # noqa: E402
+
+_ASYNC = ("copy-start", "slice-start", "copy-done", "slice-done",
+          "all-gather-start", "collective-permute-start")
+
+
+def _is_async(name: str) -> bool:
+    return any(a in name for a in _ASYNC)
+
+
+def _op_family(name: str) -> str:
+    import re
+
+    m = re.match(r"%([a-z0-9_-]+?)[.\s=]", name + " ")
+    return m.group(1).rstrip("-0123456789.") if m else name[:24]
 
 
 def sync(x):
@@ -86,10 +100,27 @@ def main() -> int:
         if pbs:
             planes = parse_xspace(max(pbs, key=os.path.getmtime))
             sec["planes"] = [p.name for p in planes]
-            tot = op_totals(planes, plane_filter="TPU")
+            # Overlap-aware view: interval-union busy time per hardware
+            # queue (async copy windows overlap compute; summing raw
+            # durations across lines double-counts — round-2 lesson).
+            sec["line_busy"] = {
+                k: {kk: round(vv, 3) if isinstance(vv, float) else vv
+                    for kk, vv in v.items()}
+                for k, v in line_busy(planes).items()}
+            tot = op_totals(planes, plane_filter="TPU", line_filter="XLA Ops")
             if not tot:
                 tot = op_totals(planes, plane_filter="")
-            top = sorted(tot.items(), key=lambda kv: -kv[1]["ms"])[:25]
+            sync_tot = {k: v for k, v in tot.items() if not _is_async(k)}
+            fam: dict = {}
+            for k, v in sync_tot.items():
+                r = fam.setdefault(_op_family(k), {"ms": 0.0, "count": 0})
+                r["ms"] += v["ms"]
+                r["count"] += v["count"]
+            sec["op_families_per_call_ms"] = {
+                k: round(v["ms"] / reps, 4)
+                for k, v in sorted(fam.items(), key=lambda kv: -kv[1]["ms"])
+                if v["ms"] / reps > 0.005}
+            top = sorted(sync_tot.items(), key=lambda kv: -kv[1]["ms"])[:25]
             sec["top_ops"] = [
                 {"op": k, "total_ms": round(v["ms"], 3), "count": v["count"],
                  "per_call_ms": round(v["ms"] / reps, 4), "line": v["line"]}

@@ -77,10 +77,11 @@ def _zigzag_ok_int64(v: int) -> int:
 
 
 class Event:
-    __slots__ = ("name", "duration_ps", "occurrences", "stats")
+    __slots__ = ("name", "offset_ps", "duration_ps", "occurrences", "stats")
 
-    def __init__(self, name, duration_ps, occurrences, stats):
+    def __init__(self, name, offset_ps, duration_ps, occurrences, stats):
         self.name = name
+        self.offset_ps = offset_ps
         self.duration_ps = duration_ps
         self.occurrences = occurrences
         self.stats = stats  # dict name -> value
@@ -125,12 +126,15 @@ def _parse_stat(buf: bytes, stat_meta: dict[int, str]):
 
 def _parse_event(buf: bytes, event_meta, stat_meta) -> Event:
     mid = 0
+    off = 0
     dur = 0
     occ = 1
     stats = {}
     for f, w, v in _fields(buf):
         if f == 1:
             mid = v
+        elif f == 2:
+            off = _zigzag_ok_int64(v)
         elif f == 3:
             dur = v
         elif f == 4:
@@ -138,7 +142,7 @@ def _parse_event(buf: bytes, event_meta, stat_meta) -> Event:
             stats[k] = sv
         elif f == 5:
             occ = v
-    return Event(event_meta.get(mid, str(mid)), dur, occ, stats)
+    return Event(event_meta.get(mid, str(mid)), off, dur, occ, stats)
 
 
 def _parse_line(buf: bytes, event_meta, stat_meta) -> Line:
@@ -198,16 +202,70 @@ def parse_xspace(path: str) -> list[Plane]:
     return planes
 
 
-def op_totals(planes: list[Plane], plane_filter: str = "TPU") -> dict[str, dict]:
-    """Aggregate event durations (ms) by op name over matching planes."""
+def op_totals(planes: list[Plane], plane_filter: str = "TPU",
+              line_filter: str | None = None) -> dict[str, dict]:
+    """Aggregate event durations (ms) by op name over matching planes.
+
+    Caveat: async ops (slice-start / copy-start) report their whole
+    outstanding window as `duration`, which OVERLAPS compute on other
+    lines — summing across all lines double-counts. Pass `line_filter`
+    (substring of the line name, e.g. "XLA Ops") or use `line_busy` for
+    overlap-aware accounting.
+    """
     totals: dict[str, dict] = {}
     for p in planes:
         if plane_filter.lower() not in p.name.lower():
             continue
         for ln in p.lines:
+            if line_filter is not None and line_filter.lower() not in ln.name.lower():
+                continue
             for ev in ln.events:
                 rec = totals.setdefault(
                     ev.name, {"ms": 0.0, "count": 0, "line": ln.name})
                 rec["ms"] += ev.duration_ps / 1e9
                 rec["count"] += ev.occurrences
     return totals
+
+
+def _union_ms(intervals: list[tuple[int, int]]) -> float:
+    """Total length (ms) of the union of [start, end) ps intervals."""
+    if not intervals:
+        return 0.0
+    intervals.sort()
+    total = 0
+    cur_s, cur_e = intervals[0]
+    for s, e in intervals[1:]:
+        if s > cur_e:
+            total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    total += cur_e - cur_s
+    return total / 1e9
+
+
+def line_busy(planes: list[Plane], plane_filter: str = "TPU") -> dict[str, dict]:
+    """Per trace line: interval-union busy time (ms), span, event count.
+
+    Events on one line never overlap visually but async windows can;
+    the union is the honest serial occupancy of that hardware queue.
+    The device's true busy time is the union over its compute lines
+    ("XLA Ops" / "XLA Modules"); DMA lines overlap them.
+    """
+    out: dict[str, dict] = {}
+    for p in planes:
+        if plane_filter.lower() not in p.name.lower():
+            continue
+        for ln in p.lines:
+            ivs = [(ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                   for ev in ln.events]
+            if not ivs:
+                continue
+            key = f"{p.name}::{ln.name}"
+            span = (max(e for _, e in ivs) - min(s for s, _ in ivs)) / 1e9
+            out[key] = {
+                "busy_ms": _union_ms(ivs),
+                "span_ms": span,
+                "events": len(ivs),
+            }
+    return out
