@@ -56,13 +56,15 @@ def main() -> int:
     ln = jnp.full((B,), N, jnp.int32)
     key = jax.random.key(0)
     model = create_model("DeepGraphCnn", num_classes=14)
+    model_bf16 = create_model("DeepGraphCnn", num_classes=14,
+                              dtype=jnp.bfloat16)
 
     def sync(x):
         jax.device_get(x.ravel()[0])
 
     results = {}
 
-    def run(tag, strategy, precision):
+    def run(tag, strategy, precision, use_model=None):
         # fresh jit per variant: the scatter strategy is read at trace
         # time and is NOT part of jax's jit cache key
         train_step = jax.jit(
@@ -77,7 +79,7 @@ def main() -> int:
 
                 ctx = contextlib.nullcontext()
             with ctx:
-                state = create_train_state(model, pts, 1e-3)
+                state = create_train_state(use_model or model, pts, 1e-3)
 
                 chunks = []
                 for chunk in range(4):
@@ -99,6 +101,11 @@ def main() -> int:
     run("onehot_t", "onehot_t", None)
     run("prec_f32", "onehot", "float32")
     run("f32+onehot_t", "onehot_t", "float32")
+    # bf16-resident activations (params stay f32, flax dtype arg):
+    # pre-one-hot this measured neutral — the scatter dominated; with
+    # the step now copy-stall-bound the converts/retiles may matter
+    run("bf16_act", "onehot", None, use_model=model_bf16)
+    run("bf16_act+bf16x2", "bf16x2", None, use_model=model_bf16)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
