@@ -271,7 +271,12 @@ def cmd_evaluate(args) -> int:
     model_name = args.model or config.get("model", "PointNet++")
     num_classes = args.num_classes
     class_names = S3DIS_CLASSES[:num_classes]
-    model = create_model(model_name, num_classes=num_classes)
+    # params are f32 either way (flax dtype only selects compute dtype),
+    # so checkpoints load regardless; follow the training run's setting
+    # unless explicitly overridden
+    use_bf16 = args.bf16 or bool(config.get("bf16"))
+    model = create_model(model_name, num_classes=num_classes,
+                        dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
 
     sampling = args.sampling
     example = jnp.zeros((args.batch_size, sampling or 4096, 9), jnp.float32)
@@ -529,6 +534,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "one jitted program with the room resident on "
                         "the chip (one transfer each way per room); "
                         "'host' is the reference-shaped per-window loop")
+    p.add_argument("--bf16", action="store_true",
+                   help="Compute in bfloat16 (params stay f32, so any "
+                        "checkpoint loads either way). Defaults to the "
+                        "training run's --bf16 setting from the config "
+                        "sidecar.")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("benchmark", help="Micro-benchmark a model.")
