@@ -220,7 +220,9 @@ def train_pointseg(args, epochs, test_batches, init_state_dict=None,
     from pointseg.models import create_model
     from pointseg.train.state import create_train_state, train_step
 
-    model = create_model(args.model, num_classes=14)
+    model = create_model(
+        args.model, num_classes=14,
+        dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32)
     example = jnp.zeros((args.batch_size, args.npoints, 9), jnp.float32)
     state = create_train_state(model, example, args.learning_rate,
                                seed=args.seed)
@@ -288,6 +290,10 @@ def main() -> int:
                          "criterion becomes |mean gap| <= tol + the "
                          "cross-framework gap must not exceed the "
                          "within-framework seed spread by more than tol")
+    ap.add_argument("--bf16", action="store_true",
+                    help="pointseg side computes in bfloat16 (params f32) "
+                         "— convergence-parity evidence for the --bf16 "
+                         "fast path.")
     ap.add_argument("--tpu", action="store_true",
                     help="run the pointseg side on the TPU chip "
                          "(default: CPU, apples-to-apples with torch)")
