@@ -99,6 +99,17 @@ def _gather_flat_fwd(table, idx):
 
 
 def _scatter_onehot(ct, idx, n_rows):
+    if ct.dtype == jnp.bfloat16:
+        # bf16 cotangents (bf16-activation models): a SINGLE full-rate
+        # bf16 MXU pass is already exact — one-hot entries are 0/1 and
+        # the ct values carry no more precision than bf16, so every
+        # product is exact and sums accumulate in f32 via
+        # preferred_element_type. Skipping the 6-pass HIGHEST einsum
+        # here is free accuracy-wise and ~4x cheaper.
+        oh = jax.nn.one_hot(idx, n_rows, dtype=jnp.bfloat16)
+        return jnp.einsum(
+            "bmn,bmc->bnc", oh, ct, preferred_element_type=jnp.float32,
+        )
     oh = jax.nn.one_hot(idx, n_rows, dtype=jnp.float32)  # fused, not stored
     return jnp.einsum(
         "bmn,bmc->bnc",

@@ -367,3 +367,37 @@ def test_ball_query_index_filler_mode(rng):
         n_real = int(in_ball[0, c].sum())
         # fillers are the lowest-index out-of-radius points, ascending
         np.testing.assert_array_equal(idx[0, c, n_real:], outside[: K - n_real])
+
+
+def test_gather_rows_bf16_cotangent_single_pass_backward(rng):
+    """bf16-activation models produce bf16 cotangents; the one-hot
+    backward then runs one full-rate bf16 MXU pass with f32
+    accumulation. Exactness: one-hot entries are 0/1 and bf16 ct values
+    are exact in bf16, so the result matches a host f32 accumulation of
+    the same bf16 updates (up to f32 reassociation)."""
+    from pointseg.ops import gather as G
+
+    table = jnp.asarray(
+        rng.normal(size=(2, 24, 8)).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, 24, size=(2, 96)).astype(np.int32))
+    ct = jnp.asarray(
+        rng.normal(size=(2, 96, 8)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def loss(t):
+        return jnp.sum(G.gather_rows(t, idx).astype(jnp.float32)
+                       * ct.astype(jnp.float32))
+
+    G.set_scatter_strategy("onehot")
+    try:
+        got = jax.jit(jax.grad(loss))(table)
+    finally:
+        G.set_scatter_strategy(None)
+    assert got.dtype == jnp.bfloat16
+
+    ref = np.zeros((2, 24, 8), np.float32)
+    for b in range(2):
+        np.add.at(ref[b], np.asarray(idx)[b],
+                  np.asarray(ct[b]).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(got).astype(np.float32), ref.astype(np.float32),
+        rtol=1e-2, atol=1e-2)  # bf16 output rounding + reassociation

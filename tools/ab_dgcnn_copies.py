@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--npoints", type=int, default=4096)
     ap.add_argument("--out", default="/tmp/ab_dgcnn_copies.json")
+    ap.add_argument("--variants", nargs="*", default=None,
+                    help="subset of variant tags to run (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +67,8 @@ def main() -> int:
     results = {}
 
     def run(tag, strategy, precision, use_model=None):
+        if args.variants is not None and tag not in args.variants:
+            return
         # fresh jit per variant: the scatter strategy is read at trace
         # time and is NOT part of jax's jit cache key
         train_step = jax.jit(
