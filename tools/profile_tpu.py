@@ -188,11 +188,14 @@ def main() -> int:
             fn = jax.jit(lambda a, k=k: ops.knn_indices(a, k))
             capture(f"knn_k{k}", fn, (x,))
 
-    def model_step(name):
+    def model_step(name, dtype=None):
+        import jax.numpy as jnp
+
         from pointseg.models import create_model
         from pointseg.train.state import create_train_state, train_step
 
-        model = create_model(name, num_classes=14)
+        kwargs = {"dtype": dtype} if dtype is not None else {}
+        model = create_model(name, num_classes=14, **kwargs)
         pts = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
         lab = jnp.asarray(np.eye(14, dtype=np.uint8)[
             rng.integers(0, 14, size=(B, N))])
@@ -217,6 +220,11 @@ def main() -> int:
         capture("pnpp_step", model_step("PointNet++"), ())
     if "dgcnn" in args.sections:
         capture("dgcnn_step", model_step("DeepGraphCnn"), ())
+    if "dgcnn_bf16" in args.sections:
+        import jax.numpy as jnp
+
+        capture("dgcnn_bf16_step",
+                model_step("DeepGraphCnn", dtype=jnp.bfloat16), ())
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
