@@ -109,3 +109,14 @@ def test_ops_fall_back_to_oracle_for_untileable_shapes(rng):
         assert i3.shape == (1, 30, 3)
     finally:
         set_use_pallas(None)
+
+
+def test_knn_kernel_bf16_input_upcasts(rng):
+    """bf16-activation models feed bf16 features to kNN; the kernel
+    upcasts to f32 before the distance matmul (tie-exact selection),
+    so bf16 input must select identically to its f32 upcast."""
+    x16 = jnp.asarray(
+        rng.normal(size=(2, 128, 8)).astype(np.float32)).astype(jnp.bfloat16)
+    ref = np.asarray(knn_indices_pallas(x16.astype(jnp.float32), 6, tile=64))
+    got = np.asarray(knn_indices_pallas(x16, 6, tile=64))
+    np.testing.assert_array_equal(ref, got)
