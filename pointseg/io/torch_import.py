@@ -102,8 +102,10 @@ class _Writer:
         w = w.reshape(w.shape[0], w.shape[1])  # (out, 2F)
         F = w.shape[1] // 2
         w_a, w_b = w[:, :F], w[:, F:]  # act on (x_j - x_i) and x_i
+        # identity mapping: EdgeConv keeps torch's (W_e, W_c) parameter
+        # coordinates (see pointseg/nn/blocks.py::EdgeConv docstring)
         self.put("params", f"{fpath}/w_edge/kernel", w_a.T)
-        self.put("params", f"{fpath}/w_center/kernel", (w_b - w_a).T)
+        self.put("params", f"{fpath}/w_center/kernel", w_b.T)
         self.bn(f"{tpath}.conv.1", f"{fpath}/bn")
 
     def set_abstraction(self, tpath, fpath, n_mlps):

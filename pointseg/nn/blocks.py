@@ -232,6 +232,15 @@ class EdgeConv(nn.Module):
     instead of per-EDGE (N*k rows) after it — ~k x fewer MXU FLOPs and
     the gathered tensor carries `out_channels` instead of 2F channels.
 
+    PARAMETERIZATION MATTERS: the parameters stay in the reference's
+    (W_e, W_c) coordinates — `w_edge` holds W_e, `w_center` holds W_c,
+    and the per-point center offset is formed as d = x@W_c - x@W_e.
+    Storing W_c - W_e as the parameter instead computes the SAME
+    function but different GRADIENTS (dL/dW_e picks up a +dL/dW_c
+    term), which under Adam is a different optimization trajectory —
+    measured as a real DGCNN training-quality gap (-0.07 mIoU vs the
+    torch reference, TRAIN_PARITY_dgcnn.json) before this fix.
+
     Step 2 (`fused=True`, default): the (B, N, k, out) edge tensor is
     never materialized at all. Writing an edge e_ij = p_j + d_i, the
     center term d_i is constant over a point's neighborhood, and
@@ -260,11 +269,14 @@ class EdgeConv(nn.Module):
     def __call__(self, x, train: bool = False, knn_on=None, mask=None):
         x = x.astype(self.dtype)
         idx = ops.knn_indices(x if knn_on is None else knn_on, self.k, mask=mask)
-        # W_e: acts on the neighbor x_j; W_d := W_c - W_e acts on the center
+        # p_j = x_j @ W_e gathers per-neighbor; the center offset
+        # d_i = x_i @ (W_c - W_e) is formed from the two per-point
+        # products so the parameters remain torch's (W_e, W_c).
         p = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      name="w_edge")(x)  # (B, N, out)
-        d = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+        c = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      name="w_center")(x)  # (B, N, out)
+        d = c - p
         if not self.fused:
             edges = ops.gather_neighbors(p, idx) + d[:, :, None, :]
             edges = nn.BatchNorm(

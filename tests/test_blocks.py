@@ -65,13 +65,12 @@ def test_edgeconv_equals_unfused_reference_form(data):
     layer = EdgeConv(out_ch, k)
     v = layer.init({"params": jax.random.key(0)}, feats)
 
-    w_e = v["params"]["w_edge"]["kernel"]  # (F, out)
-    w_d = v["params"]["w_center"]["kernel"]  # (F, out)
+    w_e = v["params"]["w_edge"]["kernel"]  # (F, out) — torch W_e
+    w_c = v["params"]["w_center"]["kernel"]  # (F, out) — torch W_c
     # reference form: W = [W_edge ; W_center] on cat(xj - xi, xi)
-    # xj @ W_e + xi @ (W_c - W_e) where W_c := W_d + W_e
     edges = ops.graph_feature(feats, k)  # (B, N, k, 2F)
     F = feats.shape[-1]
-    pre = edges[..., :F] @ w_e + edges[..., F:] @ (w_d + w_e)
+    pre = edges[..., :F] @ w_e + edges[..., F:] @ w_c
 
     mean = pre.mean(axis=(0, 1, 2))
     var = pre.var(axis=(0, 1, 2))

@@ -543,3 +543,96 @@ def test_pointnetpp_train_step_gradient_parity():
         np.testing.assert_allclose(
             flat_got_s[k], want, rtol=tol, atol=tol * 0.1, err_msg=k
         )
+
+
+def test_dgcnn_train_step_gradient_parity():
+    """Same-init DGCNN single-step grads match torch at the noise floor.
+
+    Regression guard for the EdgeConv PARAMETERIZATION: the pre-gather
+    rewrite must keep torch's (W_e, W_c) parameter coordinates. Storing
+    W_c - W_e computes the same forward but different gradients
+    (dL/dW_e gains a +dL/dW_c term), i.e. a different Adam trajectory —
+    measured as a -0.07 mIoU DGCNN training gap before the fix (see
+    pointseg/nn/blocks.py::EdgeConv docstring). Reference semantics:
+    /root/reference/models/dgcnn/dgcnn.py:60-77,165-257.
+    """
+    import copy
+
+    from models.dgcnn.dgcnn import DGCNNWithColor as Ref
+    from Training.train_model import masked_onehot_cross_entropy as ref_ce
+
+    import flax
+
+    from pointseg.models import DGCNNWithColor
+    from pointseg.train.loss import masked_onehot_cross_entropy
+
+    torch.manual_seed(29)
+    ref = Ref(num_classes=14, k=8, emb_dims=128)
+    sd0 = copy.deepcopy(ref.state_dict())
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    B, N = 4, 256
+    rng = np.random.default_rng(3)
+    x = np.zeros((B, N, 9), np.float32)
+    x[..., :3] = rng.normal(size=(B, N, 3))
+    x[..., 3:] = rng.random((B, N, 6))
+    y = np.eye(14, dtype=np.float32)[rng.integers(0, 14, (B, N))]
+    lengths = np.full((B,), N, np.int64)
+
+    logits_t = ref(torch.tensor(np.swapaxes(x[..., :6], 1, 2)))[0]
+    loss_t = ref_ce(logits_t, torch.tensor(y), torch.tensor(lengths))
+    loss_t.backward()
+
+    model = DGCNNWithColor(num_classes=14, k=8, emb_dims=128, dropout=0.0)
+    v0 = model.init({"params": jax.random.key(0)}, jnp.array(x), train=False)
+    variables = from_torch_state_dict("DeepGraphCnn", sd0, dict(v0))
+
+    def loss_fn(params):
+        logits, upd = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.array(x), train=True, mutable=["batch_stats"],
+        )
+        loss = masked_onehot_cross_entropy(
+            logits, jnp.array(y), jnp.array(lengths))
+        return loss, upd["batch_stats"]
+
+    (loss_j, _), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+        variables["params"])
+    with jax.disable_jit():
+        (_, _), grads_eager = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-5, atol=1e-6)
+
+    want_tree = from_torch_state_dict(
+        "DeepGraphCnn", _grad_state_dict(ref), dict(v0))
+    flat_want = flax.traverse_util.flatten_dict(want_tree["params"], sep="/")
+    flat_got = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, grads), sep="/")
+    flat_eager = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, grads_eager), sep="/")
+    assert flat_got.keys() == flat_want.keys()
+    dots = na = nb = 0.0
+    for k, want in flat_want.items():
+        got = flat_got[k]
+        cross = np.linalg.norm(got - want)
+        # noise-referenced tolerance (same rationale as the PointNet++
+        # test): the jit-vs-eager distance is the f32 reassociation
+        # floor; the fused EdgeConv's analytic batch stats sit ~1e-3
+        # relative from the materialized form, so allow 8x that floor
+        # plus a small absolute term for near-zero leaves.
+        noise = np.linalg.norm(got - flat_eager[k])
+        floor = 2e-2 * (1.0 + np.linalg.norm(want))
+        assert cross <= max(8.0 * noise, floor), (
+            f"grad mismatch at {k}: |cross|={cross:.3e} vs "
+            f"8x noise {8 * noise:.3e}, floor {floor:.3e}"
+        )
+        dots += float(got.ravel() @ want.ravel())
+        na += float((got ** 2).sum())
+        nb += float((want ** 2).sum())
+    cosine = dots / np.sqrt(na * nb)
+    assert cosine > 0.999, f"global gradient cosine {cosine:.6f}"
