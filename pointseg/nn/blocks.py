@@ -32,6 +32,21 @@ def _fps_key(module: nn.Module):
     return module.make_rng("fps") if module.has_rng("fps") else None
 
 
+# Trace-time knob (same pattern as ops.gather.set_scatter_strategy):
+# when True, bf16 EdgeConv gathers its neighbor rows in f32. bf16 rows
+# are 128 B at 64 channels and gather at ~16 GB/s effective on the
+# relay chip vs ~70 GB/s for 256 B f32 rows (PROFILE_r02_bf16: the four
+# edge gathers are 21 ms of the 80 ms step), so paying a 2x-bytes
+# upcast can still win wall time. Read at trace time; NOT part of the
+# jit cache key — re-jit after changing (tools/ab_dgcnn_copies.py does).
+_EDGE_GATHER_UPCAST: bool = False
+
+
+def set_edge_gather_upcast(enabled: bool) -> None:
+    global _EDGE_GATHER_UPCAST
+    _EDGE_GATHER_UPCAST = bool(enabled)
+
+
 class GroupedFirstLayer(nn.Module):
     """First shared-MLP layer over ball-query regions, in pre-gather form.
 
@@ -286,9 +301,14 @@ class EdgeConv(nn.Module):
             edges = leaky_relu_02(edges)
             return jnp.max(edges, axis=2)  # (B, N, out)
 
+        upcast = _EDGE_GATHER_UPCAST and self.dtype == jnp.bfloat16
+
         def gather_reduce(p_, idx_):
+            if upcast:
+                p_ = p_.astype(jnp.float32)
             gp = ops.gather_neighbors(p_, idx_)
-            out = (jnp.max(gp, axis=2), jnp.min(gp, axis=2))
+            out = (jnp.max(gp, axis=2).astype(self.dtype),
+                   jnp.min(gp, axis=2).astype(self.dtype))
             if train:
                 out += (jnp.sum(gp, axis=2), jnp.sum(gp * gp, axis=2))
             return out
@@ -315,7 +335,9 @@ class EdgeConv(nn.Module):
         )(mean, var, train)
         t = scale * jax.lax.rsqrt(var + 1e-5)           # per-channel slope
         extreme = jnp.where(t >= 0, g_max, g_min) + d   # argmax of the affine map
-        return leaky_relu_02((extreme - mean) * t + bias)
+        # f32 BN params promote the elementwise tail; pin the block's
+        # output dtype so downstream layers see the model compute dtype
+        return leaky_relu_02((extreme - mean) * t + bias).astype(self.dtype)
 
 
 class TNet(nn.Module):

@@ -66,7 +66,9 @@ def main() -> int:
 
     results = {}
 
-    def run(tag, strategy, precision, use_model=None):
+    from pointseg.nn.blocks import set_edge_gather_upcast
+
+    def run(tag, strategy, precision, use_model=None, gather_upcast=False):
         if args.variants is not None and tag not in args.variants:
             return
         # fresh jit per variant: the scatter strategy is read at trace
@@ -75,6 +77,7 @@ def main() -> int:
             state_mod.train_step.__wrapped__, donate_argnums=(0,))
         # fresh state per variant (donation consumes the old one anyway)
         set_scatter_strategy(strategy)
+        set_edge_gather_upcast(gather_upcast)
         try:
             if precision:
                 ctx = jax.default_matmul_precision(precision)
@@ -100,6 +103,7 @@ def main() -> int:
                 print(f"{tag:14s} {ms:8.2f} ms/step  chunks={chunks}", flush=True)
         finally:
             set_scatter_strategy(None)
+            set_edge_gather_upcast(False)
 
     run("base", "onehot", None)
     run("onehot_t", "onehot_t", None)
@@ -110,6 +114,10 @@ def main() -> int:
     # the step now copy-stall-bound the converts/retiles may matter
     run("bf16_act", "onehot", None, use_model=model_bf16)
     run("bf16_act+bf16x2", "bf16x2", None, use_model=model_bf16)
+    # gather edge rows in f32 (256 B rows gather ~4x faster per byte
+    # than 128 B bf16 rows on the relay chip) — see blocks.py knob
+    run("bf16_act+f32gather", "onehot", None, use_model=model_bf16,
+        gather_upcast=True)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
