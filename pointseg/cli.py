@@ -306,6 +306,8 @@ def cmd_evaluate(args) -> int:
         # relayed TPU runtime (ADVICE.md round 1).
         from pointseg.train.loss import length_mask
 
+        from pointseg.train.state import bn_batch_apply
+
         @jax.jit
         def forward9(points, lengths):
             p = jnp.asarray(points)
@@ -322,6 +324,8 @@ def cmd_evaluate(args) -> int:
                 axis=-1,
             )
             p9 = jnp.concatenate([p, p[..., :3] - center], axis=-1)
+            if args.bn_stats == "batch":
+                return bn_batch_apply(model, variables, p9)
             return model.apply(variables, p9, train=False)
 
         results = evaluate_rooms(
@@ -347,7 +351,13 @@ def cmd_evaluate(args) -> int:
         test_buckets=(1024, 2048, 4096, 8192, 16384, 32768, 65536),
         test_pad_mode=args.pad_mode,
     )
-    results = evaluate(state, test_loader, num_classes=num_classes)
+    step_fn = None
+    if args.bn_stats == "batch":
+        from pointseg.train.state import make_eval_step
+
+        step_fn = make_eval_step(model, bn_stats="batch")
+    results = evaluate(state, test_loader, num_classes=num_classes,
+                       step_fn=step_fn)
 
     print("\n=== Evaluation results ===")
     print(f"Overall accuracy:    {100.0 * results['accuracy']:.2f}%")
@@ -539,6 +549,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint loads either way). Defaults to the "
                         "training run's --bf16 setting from the config "
                         "sidecar.")
+    p.add_argument("--bn-stats", choices=["running", "batch"], default="running",
+                   help="BatchNorm statistics at eval time: 'running' "
+                        "(checkpoint averages — reference parity) or 'batch' "
+                        "(test-time adaptation: normalize with the eval "
+                        "batch's own statistics; robust to train/eval "
+                        "point-density shift, see train/state.py::"
+                        "bn_adapted_model).")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("benchmark", help="Micro-benchmark a model.")

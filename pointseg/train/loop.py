@@ -78,8 +78,15 @@ def evaluate(
     state: TrainState,
     test_loader: Iterable,
     num_classes: int = 14,
+    step_fn=None,
 ) -> dict:
-    """Streaming evaluation over the test set (training.py:80-133)."""
+    """Streaming evaluation over the test set (training.py:80-133).
+
+    `step_fn` defaults to the jitted running-average-BN `eval_step`;
+    pass `make_eval_step(model, bn_stats="batch")` for test-time BN
+    adaptation (pointseg/train/state.py)."""
+    if step_fn is None:
+        step_fn = eval_step
     # all accumulation stays on device; one host sync at the end
     losses = []
     num_batches = 0
@@ -90,7 +97,7 @@ def evaluate(
     confusion = jnp.zeros((num_classes, num_classes), jnp.int32)
 
     for points, labels, lengths in test_loader:
-        out = eval_step(state, _dev(points), _dev(labels), _dev(lengths))
+        out = step_fn(state, _dev(points), _dev(labels), _dev(lengths))
         losses.append(out["loss"])
         num_batches += 1
         correct = correct + out["correct"]

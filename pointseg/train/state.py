@@ -145,6 +145,21 @@ def train_step(
     return new_state, {"loss": loss, "accuracy": accuracy, "miou": miou}
 
 
+def _eval_outputs(logits, labels, lengths) -> dict:
+    loss = masked_onehot_cross_entropy(logits, labels, lengths)
+    correct, total = M.update_accuracy(logits, labels, lengths)
+    inter, union = M.update_intersection_over_union(logits, labels, lengths)
+    confusion = M.confusion_matrix(logits, labels, lengths)
+    return {
+        "loss": loss,
+        "correct": correct,
+        "total": total,
+        "intersections": inter,
+        "unions": union,
+        "confusion": confusion,
+    }
+
+
 @jax.jit
 def eval_step(
     state: TrainState,
@@ -159,15 +174,55 @@ def eval_step(
         points,
         train=False,
     )
-    loss = masked_onehot_cross_entropy(logits, labels, lengths)
-    correct, total = M.update_accuracy(logits, labels, lengths)
-    inter, union = M.update_intersection_over_union(logits, labels, lengths)
-    confusion = M.confusion_matrix(logits, labels, lengths)
-    return {
-        "loss": loss,
-        "correct": correct,
-        "total": total,
-        "intersections": inter,
-        "unions": union,
-        "confusion": confusion,
-    }
+    return _eval_outputs(logits, labels, lengths)
+
+
+def bn_adapted_model(model):
+    """Clone a model for test-time BatchNorm adaptation.
+
+    Dropout is forced off (rate 0 short-circuits in flax, so no RNG is
+    needed) while `train=True` makes every BatchNorm normalize with the
+    statistics of the batch AT HAND instead of the training-time running
+    averages. The running averages in the checkpoint are untouched — the
+    mutated batch_stats collection is discarded by the callers below.
+
+    Why this exists: running-average BN is the one place the composed
+    system is sensitive to train/eval density shift — models trained on
+    sampled-1024-point blocks can collapse when evaluated on whole
+    2-3k-point blocks through running stats, while the same forward with
+    batch statistics is robust (measured; CLAUDE.md round-2 findings,
+    'Eval-mode BN collapse under density shift'). The reference
+    implementation has no analogue (torch .eval() always uses running
+    stats) — this is an opt-in robustness mode, not the parity default.
+    """
+    return model.clone(dropout=0.0) if hasattr(model, "dropout") else model
+
+
+def bn_batch_apply(model, variables, points):
+    """Forward with batch-statistics BN; batch_stats updates discarded."""
+    logits, _ = bn_adapted_model(model).apply(
+        variables, points, train=True, mutable=["batch_stats"]
+    )
+    return logits
+
+
+def make_eval_step(model, bn_stats: str = "running"):
+    """eval_step variant factory: 'running' (parity default) or 'batch'
+    (test-time BN adaptation, see `bn_adapted_model`)."""
+    if bn_stats == "running":
+        return eval_step
+    if bn_stats != "batch":
+        raise ValueError("bn_stats must be 'running' or 'batch'")
+    adapted = bn_adapted_model(model)
+
+    @jax.jit
+    def step(state, points, labels, lengths):
+        logits, _ = adapted.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return _eval_outputs(logits, labels, lengths)
+
+    return step

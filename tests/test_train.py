@@ -225,3 +225,65 @@ def test_bf16_train_step_matches_f32_loss():
         losses[dtype.__name__] = float(m["loss"])
         assert np.isfinite(losses[dtype.__name__])
     assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=2e-2)
+
+
+def test_bn_batch_eval_ignores_running_stats():
+    """--bn-stats batch (test-time BN adaptation) must (a) be invariant
+    to the stored running averages, (b) be deterministic (dropout is
+    forced off via the rate-0 clone), while (c) running-stats eval DOES
+    depend on the stored averages. Guards the mitigation for the
+    documented eval-mode BN collapse under density shift (CLAUDE.md)."""
+    from pointseg.models import create_model
+    from pointseg.train.state import bn_batch_apply, make_eval_step
+
+    rng = np.random.default_rng(2)
+    B, N = 2, 128
+    pts = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+    model = create_model("DeepGraphCnn", num_classes=C, k=8, emb_dims=64)
+    state = create_train_state(model, pts, 1e-3)
+    v = {"params": state.params, "batch_stats": state.batch_stats}
+
+    out1 = bn_batch_apply(model, v, pts)
+    out2 = bn_batch_apply(model, v, pts)  # (b) deterministic
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # poison the running averages; batch mode must not notice
+    poisoned = {
+        "params": state.params,
+        "batch_stats": jax.tree.map(lambda a: a + 37.0, state.batch_stats),
+    }
+    out3 = bn_batch_apply(model, poisoned, pts)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out3), atol=1e-5
+    )  # (a)
+
+    run1 = model.apply(v, pts, train=False)
+    run3 = model.apply(poisoned, pts, train=False)
+    assert not np.allclose(np.asarray(run1), np.asarray(run3))  # (c)
+
+
+def test_make_eval_step_batch_mode(small_state):
+    """The batch-BN eval step plugs into the streaming evaluate loop and
+    produces the same metric *totals* structure; 'running' returns the
+    stock jitted step. Also covers the no-dropout-attribute model path
+    (PointNetSeg has no dropout field; clone is skipped)."""
+    from pointseg.train.state import make_eval_step
+
+    model = PointNetSeg(num_classes=C)
+    assert make_eval_step(model) is eval_step
+    step = make_eval_step(model, bn_stats="batch")
+
+    rng = np.random.default_rng(1)
+    points = jnp.array(rng.normal(size=(2, 128, 9)).astype(np.float32))
+    labels = jax.nn.one_hot(jnp.zeros((2, 128), jnp.int32), C)
+    lengths = jnp.array([100, 28])
+    out = step(small_state, points, labels, lengths)
+    assert int(out["total"]) == 128
+    assert int(out["confusion"].sum()) == 128
+    assert np.isfinite(float(out["loss"]))
+
+    loader = [(points, labels, lengths)]
+    results = evaluate(small_state, loader, num_classes=C, step_fn=step)
+    assert 0.0 <= results["accuracy"] <= 1.0
+    with pytest.raises(ValueError):
+        make_eval_step(model, bn_stats="nope")

@@ -248,14 +248,23 @@ def train_pointseg(args, epochs, test_batches, init_state_dict=None,
               f"loss={float(metrics['loss']):.4f}", flush=True)
     train_s = time.perf_counter() - t0
 
+    if getattr(args, "bn_stats", "running") == "batch":
+        from pointseg.train.state import bn_batch_apply
+
+        def fwd(p):
+            return bn_batch_apply(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(p))
+    else:
+        def fwd(p):
+            return state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(p), train=False)
+
     m = {}
     for regime, batches in test_batches.items():
-        logits = [
-            np.asarray(state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                jnp.asarray(p), train=False))
-            for p, _, _ in batches
-        ]
+        logits = [np.asarray(fwd(p)) for p, _, _ in batches]
         m[regime] = eval_metrics(
             logits, [b[1] for b in batches], [b[2] for b in batches])
     m["train_seconds"] = round(train_s, 1)
@@ -297,6 +306,11 @@ def main() -> int:
     ap.add_argument("--tpu", action="store_true",
                     help="run the pointseg side on the TPU chip "
                          "(default: CPU, apples-to-apples with torch)")
+    ap.add_argument("--bn-stats", choices=["running", "batch"],
+                    default="running", dest="bn_stats",
+                    help="pointseg eval BN statistics; 'batch' measures "
+                         "the test-time-adaptation mode (torch side "
+                         "always uses running stats, its only mode)")
     ap.add_argument("--out", default="TRAIN_PARITY.json")
     args = ap.parse_args()
 
@@ -373,6 +387,7 @@ def main() -> int:
         "batches_per_epoch": n_train,
         "npoints": args.npoints,
         "same_init": args.same_init,
+        "bn_stats": args.bn_stats,
         "train_seeds": seeds,
         "summary": summary,
         "pointseg_with_torch_weights": transfer,
