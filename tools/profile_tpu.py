@@ -225,6 +225,11 @@ def main() -> int:
 
         capture("dgcnn_bf16_step",
                 model_step("DeepGraphCnn", dtype=jnp.bfloat16), ())
+    if "pnpp_bf16" in args.sections:
+        import jax.numpy as jnp
+
+        capture("pnpp_bf16_step",
+                model_step("PointNet++", dtype=jnp.bfloat16), ())
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
