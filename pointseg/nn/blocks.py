@@ -70,17 +70,21 @@ class GroupedFirstLayer(nn.Module):
 
     @nn.compact
     def __call__(self, centroids, coords, features, train: bool = False, mask=None):
-        from pointseg.ops.gather import gather_rows
+        from pointseg.ops.gather import gather_rows_with_coords
 
         idx, _ = ops.ball_query(centroids, coords, self.radius, self.K, mask=mask)
-        rel = gather_rows(coords, idx) - centroids[:, :, None, :]
-        if self.normalize:
-            rel = rel / jnp.float32(self.radius)
-        rel = rel.astype(self.dtype)
         hfeat = nn.Dense(
             self.width, use_bias=False, dtype=self.dtype, name="w_feat"
         )(features.astype(self.dtype))  # (B, N, h), pre-gather
-        h = gather_rows(hfeat, idx) + nn.Dense(
+        # one wide-row gather fetches the feature rows AND the raw f32
+        # coordinates (bit-exact bf16 lanes in bf16 mode) — a separate
+        # 12-byte-row coordinate gather runs ~2 GB/s (gather.py)
+        gfeat, gcoords = gather_rows_with_coords(hfeat, coords, idx)
+        rel = gcoords - centroids[:, :, None, :]
+        if self.normalize:
+            rel = rel / jnp.float32(self.radius)
+        rel = rel.astype(self.dtype)
+        h = gfeat + nn.Dense(
             self.width, dtype=self.dtype, name="w_rel"
         )(rel)
         h = nn.BatchNorm(

@@ -187,3 +187,58 @@ def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     B = table.shape[0]
     flat = _gather_flat(table, idx.reshape(B, -1))
     return flat.reshape(*idx.shape, table.shape[-1])
+
+
+def gather_rows_with_coords(
+    features: jax.Array, coords: jax.Array, idx: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """One gather for the (features, coords) table pair SA grouping needs.
+
+    Every SetAbstraction-style block fetches, with the SAME ball-query
+    indices, (a) the pre-gather feature matmul rows and (b) the raw f32
+    coordinates for the relative-position term. Issued separately, (b)
+    is a 12-byte-row gather that runs at ~2 GB/s on v5e (per-row fetch
+    overhead dominates tiny rows; PROFILE_r02_pnpp_bf16.json: 1.50 ms
+    of a 12.6 ms step at SA1 scale). Packing both tables into one
+    wide-row gather hides the coordinate bytes in the feature fetch:
+    measured 3.25 ms vs 4.85 ms for the separate pair at SA1 scale
+    (AB_GATHER_WIDTH_r02.json).
+
+    When `features` is bfloat16 the f32 coordinates ride along as an
+    arithmetic bf16 hi/lo split (hi barriered — the same
+    double-rounding-folding guard as `_scatter_bf16x2`): measured
+    ~7e-6 RELATIVE reconstruction error, below the bf16 cast the
+    relative-coordinate term gets downstream anyway. A bitcast packing
+    (bit-exact in theory) does NOT survive the gather: arbitrary
+    low-half bit patterns include bf16 SUBNORMALS and the TPU gather
+    path flushes them to zero (measured: low 16 bits zeroed, ~2e-3
+    relative coordinate error).
+
+    Coordinates are selection geometry, not a parameter path: they are
+    `stop_gradient`ed here, which both matches their (DCE'd) role in
+    the separate formulation and keeps the packed backward from
+    scattering into dead channels. `features` stays differentiable
+    through the strategy-selected MXU backward.
+
+    Replaces the grouped fetches around reference
+    models/utils/common.py:62-67 (`group`'s index_points of xyz and
+    points with one idx).
+    """
+    coords = jax.lax.stop_gradient(coords)
+    B, N = features.shape[0], features.shape[1]
+    h = features.shape[-1]
+    if features.dtype == coords.dtype:
+        buf = jnp.concatenate([features, coords], axis=-1)
+        g = gather_rows(buf, idx)
+        return g[..., :h], g[..., h:]
+    if features.dtype == jnp.bfloat16 and coords.dtype == jnp.float32:
+        c = coords.shape[-1]
+        hi = jax.lax.optimization_barrier(coords.astype(jnp.bfloat16))
+        lo = (coords - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        buf = jnp.concatenate([features, hi, lo], axis=-1)
+        g = gather_rows(buf, idx)
+        gc = (g[..., h:h + c].astype(jnp.float32)
+              + g[..., h + c:].astype(jnp.float32))
+        return g[..., :h], gc
+    # unusual dtype pairing: two plain gathers
+    return gather_rows(features, idx), gather_rows(coords, idx)

@@ -401,3 +401,55 @@ def test_gather_rows_bf16_cotangent_single_pass_backward(rng):
     np.testing.assert_allclose(
         np.asarray(got).astype(np.float32), ref.astype(np.float32),
         rtol=1e-2, atol=1e-2)  # bf16 output rounding + reassociation
+
+
+def test_gather_rows_with_coords_f32_exact_and_coord_grad_free():
+    """Packed same-dtype gather must be bit-equal to two separate
+    gathers, keep feature gradients identical, and send NO gradient to
+    coords (selection geometry is stop_gradient'ed)."""
+    from pointseg.ops import gather as G
+
+    rng = np.random.default_rng(5)
+    feat = jnp.asarray(rng.normal(size=(2, 96, 16)).astype(np.float32))
+    coords = jnp.asarray(rng.normal(size=(2, 96, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 96, size=(2, 32, 8)), jnp.int32)
+
+    gf, gc = jax.jit(G.gather_rows_with_coords)(feat, coords, idx)
+    np.testing.assert_array_equal(
+        np.asarray(gf), np.asarray(G.gather_rows(feat, idx)))
+    np.testing.assert_array_equal(
+        np.asarray(gc), np.asarray(G.gather_rows(coords, idx)))
+
+    def loss(f, c):
+        a, b = G.gather_rows_with_coords(f, c, idx)
+        return jnp.sum(a**2) + jnp.sum(b**2)
+
+    gf_grad, gc_grad = jax.jit(jax.grad(loss, argnums=(0, 1)))(feat, coords)
+    ref_grad = jax.grad(
+        lambda f: jnp.sum(G.gather_rows(f, idx) ** 2))(feat)
+    np.testing.assert_allclose(
+        np.asarray(gf_grad), np.asarray(ref_grad), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(gc_grad), 0.0)
+
+
+def test_gather_rows_with_coords_bf16_rides_f32_coords():
+    """bf16 features + f32 coords: feature rows bit-equal to a plain
+    bf16 gather; coords reconstruct through the hi/lo bf16 split to
+    well below the downstream bf16 cast noise (~4e-3 ulp at O(1))."""
+    from pointseg.ops import gather as G
+
+    rng = np.random.default_rng(6)
+    feat = jnp.asarray(
+        rng.normal(size=(2, 96, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    coords = jnp.asarray(
+        (rng.normal(size=(2, 96, 3)) * 3).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 96, size=(2, 32, 8)), jnp.int32)
+
+    gf, gc = jax.jit(G.gather_rows_with_coords)(feat, coords, idx)
+    assert gf.dtype == jnp.bfloat16 and gc.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(gf), np.asarray(G.gather_rows(feat, idx)))
+    ref = np.asarray(G.gather_rows(coords, idx))
+    err = np.abs(np.asarray(gc) - ref)
+    assert err.max() <= 1e-4 * (np.abs(ref).max() + 1.0)
