@@ -387,6 +387,53 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_import_torch(args) -> int:
+    """Converts a reference PyTorch checkpoint into a pointseg one.
+
+    Migration path for users of the reference framework: their trained
+    ``model.state_dict()`` `.pt` files (reference train.py:88,
+    models/dgcnn/train_model.py) become a pointseg checkpoint directory
+    directly usable by `pointseg evaluate` / `--resume`. The conversion
+    (pointseg/io/torch_import.py) is exact up to float reassociation;
+    the same mapping backs the transferred-weights forward-equivalence
+    tests in tests/test_reference_parity.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg.io.checkpoint import save_checkpoint
+    from pointseg.io.torch_import import load_torch_checkpoint
+    from pointseg.models import create_model
+    from pointseg.runtime import setup_runtime
+    from pointseg.train.state import create_train_state
+
+    setup_runtime()
+
+    model = create_model(args.model, num_classes=args.num_classes)
+    example = jnp.zeros((2, args.num_points, 9), jnp.float32)
+    state = create_train_state(model, example)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    converted = load_torch_checkpoint(args.torch_checkpoint, args.model, variables)
+    state = state.replace(
+        params=converted["params"],
+        batch_stats=converted.get("batch_stats", {}),
+    )
+    config = {
+        "model": args.model,
+        "num_classes": args.num_classes,
+        "imported_from": os.path.abspath(args.torch_checkpoint),
+    }
+    path = save_checkpoint(args.out_dir, state, step=0, config=config)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    print(f"Imported {args.model} ({n_params:,} params) from "
+          f"{args.torch_checkpoint}\n  -> {path}")
+    print(f"Evaluate it with: pointseg evaluate --model-path {args.out_dir} "
+          f"--data-path <blocks> --num-classes {args.num_classes}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -557,6 +604,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "point-density shift, see train/state.py::"
                         "bn_adapted_model).")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser(
+        "import-torch",
+        help="Convert a reference PyTorch .pt checkpoint to a pointseg one.",
+    )
+    p.add_argument("--torch-checkpoint", required=True,
+                   help="Reference .pt file (a state_dict or full-model "
+                        "pickle; requires torch at runtime).")
+    p.add_argument("--model", required=True,
+                   choices=["PointNet", "PointNet++", "PointNeXt", "DGCNN",
+                            "DeepGraphCnn"],
+                   help="Model family the checkpoint belongs to "
+                        "(DeepGraphCnn = the color-branch DGCNN of the "
+                        "main CLI; DGCNN = the plain 13-class variant).")
+    p.add_argument("--out-dir", required=True,
+                   help="Destination checkpoint directory (written with a "
+                        "config.json sidecar, so `pointseg evaluate "
+                        "--model-path <out-dir>` discovers the model).")
+    p.add_argument("--num-classes", type=int, default=14, choices=[13, 14])
+    p.add_argument("--num-points", type=int, default=4096,
+                   help="Example input length used only to initialize the "
+                        "parameter structure (any value works; shapes are "
+                        "point-count independent).")
+    p.set_defaults(func=cmd_import_torch)
 
     p = sub.add_parser("benchmark", help="Micro-benchmark a model.")
     p.add_argument("--model", default="PointNet++", choices=MODEL_CHOICES)

@@ -18,9 +18,12 @@ Algebraic re-parameterizations (this framework's pre-gather rewrites):
   grouped conv acts on cat(rel_coords, features) (common.py:206-209);
   its weight W (out, 3+D) splits into w_rel = W[:, :3] (+ the conv
   bias) and w_feat = W[:, 3:].
-- EdgeConv (pointseg/nn/blocks.py:191-224): the reference conv acts on
+- EdgeConv (pointseg/nn/blocks.py): the reference conv acts on
   cat(x_j - x_i, x_i) (dgcnn.py:41-77); with W = [W_a | W_b] over those
-  two halves, w_edge = W_a and w_center = W_b - W_a.
+  two halves, w_edge = W_a and w_center = W_b — an identity split.
+  EdgeConv deliberately keeps torch's parameter coordinates (the
+  combined-form w_center' = W_b - W_a had the same forward but different
+  gradients; see the EdgeConv docstring).
 
 Both rewrites are exact up to float reassociation, so a converted
 checkpoint computes the same function as the torch original.

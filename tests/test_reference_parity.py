@@ -340,6 +340,60 @@ def test_dgcnn_transferred_weights_forward(rng):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_import_torch_cli_roundtrip(rng, tmp_path):
+    """`pointseg import-torch` (the user-facing migration path) must
+    write a checkpoint whose restored params equal the direct
+    from_torch_state_dict conversion — i.e. the CLI + msgpack roundtrip
+    is lossless."""
+    import subprocess
+
+    from models.PointNet.PointNet import PointNetSeg as Ref
+
+    from pointseg.io.checkpoint import load_config, restore_train_state
+    from pointseg.models import PointNetSeg
+    from pointseg.train.state import create_train_state
+
+    torch.manual_seed(23)
+    ref = Ref(part_classes=14)
+    _randomize_bn(ref, torch.Generator().manual_seed(5))
+    pt_path = tmp_path / "ref_pointnet.pt"
+    torch.save(ref.state_dict(), pt_path)
+
+    out_dir = tmp_path / "imported"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "pointseg.cli", "import-torch",
+            "--torch-checkpoint", str(pt_path), "--model", "PointNet",
+            "--out-dir", str(out_dir), "--num-points", "128",
+        ],
+        capture_output=True, text=True, timeout=560, cwd=repo,
+        env=dict(
+            os.environ, JAX_PLATFORMS="cpu", POINTSEG_PLATFORM="cpu",
+            POINTSEG_COMPILE_CACHE="/tmp/jax_cache",
+        ),
+    )
+    assert res.returncode == 0, res.stderr
+    cfg = load_config(str(out_dir))
+    assert cfg["model"] == "PointNet" and cfg["num_classes"] == 14
+
+    model = PointNetSeg(num_classes=14)
+    state = create_train_state(model, jnp.zeros((2, 128, 9)))
+    state = restore_train_state(str(out_dir), state)
+    want = from_torch_state_dict(
+        "PointNet", ref.state_dict(),
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    for got, exp in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(want["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    for got, exp in zip(
+        jax.tree.leaves(state.batch_stats), jax.tree.leaves(want["batch_stats"])
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
 # --------------------------------------------------- model param parity
 
 def _torch_param_count(model):
