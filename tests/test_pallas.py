@@ -40,6 +40,36 @@ def test_knn_kernel_matches_oracle(rng):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_knn_two_level_matches_oracle(rng):
+    from pointseg.ops.pallas.knn import knn_indices_pallas_2l
+
+    x = jnp.asarray(rng.normal(size=(2, 256, 8)).astype(np.float32))
+    ref = np.asarray(ops.knn_indices(x, 6))
+    got = np.asarray(knn_indices_pallas_2l(x, 6, tile=128, seg=128))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_knn_two_level_matches_flat_on_ties(rng):
+    """Heavy ties + lane exhaustion: duplicated coordinates force the
+    lazy refill path and same-lane tie chains. The two kernels compute
+    the identical in-kernel distance block, so their selections must be
+    bit-identical (the oracle can differ by 1-ulp distance
+    reassociation in interpret mode, so flat-vs-2l is the exact
+    comparison here; oracle equality at scale is chip-verified by
+    tools/verify_tpu.py)."""
+    from pointseg.ops.pallas.knn import knn_indices_pallas_2l
+
+    xc = np.round(rng.normal(size=(2, 512, 3)), 1).astype(np.float32)
+    # a whole strided lane coincides: forces >2 extractions from lane 7
+    for b in range(2):
+        for w in range(4):
+            xc[b, 7 + w * 128] = (b, 0.0, 0.0)
+    x = jnp.asarray(xc)
+    flat = np.asarray(knn_indices_pallas(x, 20, tile=128))
+    two = np.asarray(knn_indices_pallas_2l(x, 20, tile=128, seg=128))
+    np.testing.assert_array_equal(flat, two)
+
+
 def test_ballquery_kernel_matches_oracle(rng):
     coords = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32) * 0.5)
     cents = coords[:, :32]
