@@ -91,6 +91,7 @@ def two_level_extract(dist_ref, k: int, seg: int, emit, depth: int | None = None
         body,
         *([pltpu.VMEM((tile, S), jnp.float32)] * T       # value stack
           + [pltpu.VMEM((tile, S), jnp.int32)] * T       # w stack
+          + [pltpu.VMEM((tile, S), jnp.int32)] * T       # emptiness stack
           + [pltpu.VMEM((tile, S), jnp.float32),         # last consumed value
              pltpu.VMEM((tile, S), jnp.int32),           # ... and its w
              pltpu.VMEM((tile, S), jnp.int32)]),         # refill-pending flag
@@ -100,25 +101,43 @@ def two_level_extract(dist_ref, k: int, seg: int, emit, depth: int | None = None
 def _extract_body(dist_ref, *refs, k, S, W, T, tile, emit):
     vs_r = refs[:T]
     as_r = refs[T:2 * T]
-    vl_r, wl_r, pend_r = refs[2 * T], refs[2 * T + 1], refs[2 * T + 2]
+    es_r = refs[2 * T:3 * T]
+    vl_r, wl_r, pend_r = refs[3 * T], refs[3 * T + 1], refs[3 * T + 2]
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, S), 1)
     big = jnp.int32(2**30)
     neg = jnp.float32(-jnp.inf)
 
-    # level 1: per-lane top-T via a compare-swap insertion chain
+    # level 1: per-lane sorted top-T via a prefix-insertion fold. The
+    # stack is value-descending, so ge[t] = d > vs[t] is monotone in t
+    # and the insertion level is its first True:
+    #   new vs[t] = vs[t-1] if inserted above t, d if inserted at t,
+    #   else unchanged — all reads from OLD levels (no carry chain).
+    # Strict > means equal values insert BELOW earlier (lower-w) ones:
+    # first-occurrence tie order, same as the flat kernels/lax.top_k.
     vs = [jnp.full((tile, S), neg, jnp.float32) for _ in range(T)]
     ws = [jnp.zeros((tile, S), jnp.int32) for _ in range(T)]
     for w in range(W):
-        carry = dist_ref[:, w * S:(w + 1) * S]
-        ca = jnp.full((tile, S), w, jnp.int32)
+        d = dist_ref[:, w * S:(w + 1) * S]
+        wv = jnp.full((tile, S), w, jnp.int32)
+        ge = [d > vs[t] for t in range(T)]
+        new_vs = []
+        new_ws = []
         for t in range(T):
-            b = carry > vs[t]
-            vs[t], carry = jnp.where(b, carry, vs[t]), jnp.where(b, vs[t], carry)
-            ws[t], ca = jnp.where(b, ca, ws[t]), jnp.where(b, ws[t], ca)
+            above = ge[t - 1] if t > 0 else jnp.zeros((tile, S), jnp.bool_)
+            new_vs.append(
+                jnp.where(above, vs[t - 1] if t > 0 else d,
+                          jnp.where(ge[t], d, vs[t]))
+            )
+            new_ws.append(
+                jnp.where(above, ws[t - 1] if t > 0 else wv,
+                          jnp.where(ge[t], wv, ws[t]))
+            )
+        vs, ws = new_vs, new_ws
     for t in range(T):
         vs_r[t][:, :] = vs[t]
         as_r[t][:, :] = ws[t]
+        es_r[t][:, :] = (vs[t] == neg).astype(jnp.int32)
     vl_r[:, :] = jnp.zeros((tile, S), jnp.float32)
     wl_r[:, :] = jnp.zeros((tile, S), jnp.int32)
     pend_r[:, :] = jnp.zeros((tile, S), jnp.int32)
@@ -145,6 +164,9 @@ def _extract_body(dist_ref, *refs, k, S, W, T, tile, emit):
                     na = jnp.where(b, jnp.full((tile, S), w, jnp.int32), na)
                 vs_r[0][:, :] = jnp.where(p, nv, vs_r[0][:, :])
                 as_r[0][:, :] = jnp.where(p, na, as_r[0][:, :])
+                es_r[0][:, :] = jnp.where(
+                    p, (nv == neg).astype(jnp.int32), es_r[0][:, :]
+                )
                 pend_r[:, :] = zeros_i
 
         v1 = vs_r[0][:, :]
@@ -159,16 +181,18 @@ def _extract_body(dist_ref, *refs, k, S, W, T, tile, emit):
         is_lane = cols == (packed % S)
         vl_r[:, :] = jnp.where(is_lane, m, vl_r[:, :])
         wl_r[:, :] = jnp.where(is_lane, packed // S, wl_r[:, :])
-        # the incoming head is the empty sentinel -> lane must refill
-        # before it can win again (exhausted lanes refill to -inf once
-        # and are never consumed after)
+        # the incoming head is empty -> lane must refill before it can
+        # win again (exhausted lanes refill to -inf/empty once and are
+        # never consumed after)
         pend_r[:, :] = jnp.where(
-            jnp.logical_and(is_lane, vs_r[1][:, :] == neg), ones_i, pend_r[:, :]
+            jnp.logical_and(is_lane, es_r[1][:, :] == 1), ones_i, pend_r[:, :]
         )
         for t in range(T - 1):
             vs_r[t][:, :] = jnp.where(is_lane, vs_r[t + 1][:, :], vs_r[t][:, :])
             as_r[t][:, :] = jnp.where(is_lane, as_r[t + 1][:, :], as_r[t][:, :])
+            es_r[t][:, :] = jnp.where(is_lane, es_r[t + 1][:, :], es_r[t][:, :])
         vs_r[T - 1][:, :] = jnp.where(is_lane, neg, vs_r[T - 1][:, :])
+        es_r[T - 1][:, :] = jnp.where(is_lane, ones_i, es_r[T - 1][:, :])
 
 
 def pick_seg(n: int, max_seg: int = 256) -> int | None:
