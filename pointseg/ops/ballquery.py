@@ -122,11 +122,24 @@ def ball_query(
 
     idx = None
     if mask is None and use_pallas():
+        from pointseg.ops.dispatch import use_select2l
         from pointseg.ops.pallas import pick_tile
-        from pointseg.ops.pallas.ballquery import ball_query_pallas
+        from pointseg.ops.pallas.ballquery import (
+            ball_query_pallas,
+            ball_query_pallas_2l,
+        )
+        from pointseg.ops.pallas.select2l import pick_seg
 
         if pick_tile(centroids.shape[1], 256) is not None:
-            idx, in_ball = ball_query_pallas(centroids, coords, float(radius), K)
+            seg = pick_seg(coords.shape[1]) if use_select2l() else None
+            if seg is not None:
+                idx, in_ball = ball_query_pallas_2l(
+                    centroids, coords, float(radius), K, seg=seg
+                )
+            else:
+                idx, in_ball = ball_query_pallas(
+                    centroids, coords, float(radius), K
+                )
 
     if idx is None:
         d2 = pairwise_sqdist(centroids, coords)  # (B, C, N)

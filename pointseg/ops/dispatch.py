@@ -35,3 +35,28 @@ def use_pallas() -> bool:
         return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
     except Exception:
         return False
+
+
+_FORCED_2L: bool | None = None
+
+
+def set_use_select2l(value: bool | None) -> None:
+    """Force the two-level selection kernels on/off; None restores the
+    POINTSEG_SELECT2L env default."""
+    global _FORCED_2L
+    _FORCED_2L = value
+
+
+def use_select2l() -> bool:
+    """Whether kNN/ball-query route to the two-level selection kernels
+    (pointseg/ops/pallas/select2l.py) instead of the flat k-pass ones.
+
+    Default OFF: the two-level core measures 2.3x faster compiled
+    (BENCHMARKS.md) and is oracle-exact in interpret mode at every
+    tested configuration, but one compiled depth-3 variant mismatched
+    on chip (CLAUDE.md round-2 notes) — it stays opt-in until the
+    compiled-mode attestation (tools/verify_tpu.py) covers it green.
+    """
+    if _FORCED_2L is not None:
+        return _FORCED_2L
+    return os.environ.get("POINTSEG_SELECT2L", "0") not in ("0", "false", "False")

@@ -43,10 +43,18 @@ def knn_indices(
     from pointseg.ops.dispatch import use_pallas
 
     if mask is None and include_self and use_pallas():
+        from pointseg.ops.dispatch import use_select2l
         from pointseg.ops.pallas import pick_tile
-        from pointseg.ops.pallas.knn import knn_indices_pallas
+        from pointseg.ops.pallas.knn import (
+            knn_indices_pallas,
+            knn_indices_pallas_2l,
+        )
+        from pointseg.ops.pallas.select2l import pick_seg
 
         if pick_tile(x.shape[1]) is not None:
+            seg = pick_seg(x.shape[1]) if use_select2l() else None
+            if seg is not None:
+                return knn_indices_pallas_2l(x, k, seg=seg)
             return knn_indices_pallas(x, k)
 
     x = x.astype(jnp.float32)

@@ -141,6 +141,30 @@ def test_ops_fall_back_to_oracle_for_untileable_shapes(rng):
         set_use_pallas(None)
 
 
+def test_select2l_dispatch_matches_flat(rng):
+    """POINTSEG_SELECT2L routes ops.knn_indices / ops.ball_query to the
+    two-level kernels; results must be identical to the flat kernels."""
+    from pointseg.ops.dispatch import set_use_select2l
+
+    x = jnp.asarray(rng.normal(size=(2, 256, 8)).astype(np.float32))
+    coords = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32) * 0.5)
+    cents = coords[:, :64]
+    set_use_pallas(True)
+    try:
+        set_use_select2l(False)
+        knn_flat = np.asarray(ops.knn_indices(x, 6))
+        bq_flat, ib_flat = ops.ball_query(cents, coords, 0.4, 8)
+        set_use_select2l(True)
+        knn_two = np.asarray(ops.knn_indices(x, 6))
+        bq_two, ib_two = ops.ball_query(cents, coords, 0.4, 8)
+    finally:
+        set_use_select2l(None)
+        set_use_pallas(None)
+    np.testing.assert_array_equal(knn_flat, knn_two)
+    np.testing.assert_array_equal(np.asarray(bq_flat), np.asarray(bq_two))
+    np.testing.assert_array_equal(np.asarray(ib_flat), np.asarray(ib_two))
+
+
 def test_knn_kernel_bf16_input_upcasts(rng):
     """bf16-activation models feed bf16 features to kNN; the kernel
     upcasts to f32 before the distance matmul (tie-exact selection),
