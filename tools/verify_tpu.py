@@ -144,11 +144,52 @@ def _run_checks():
         got, want = both(fwd)
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
+    def check_select2l():
+        """Two-level selection kernels, compiled, vs the flat kernels —
+        BIT-exact requirement incl. emission order and filler slots
+        (gates POINTSEG_SELECT2L; see ops/pallas/select2l.py)."""
+        from pointseg.ops.pallas.ballquery import (
+            ball_query_pallas,
+            ball_query_pallas_2l,
+        )
+        from pointseg.ops.pallas.knn import (
+            knn_indices_pallas,
+            knn_indices_pallas_2l,
+        )
+
+        x = jnp.asarray(rng.normal(size=(B, N, 64)).astype(np.float32))
+        flat = np.asarray(jax.jit(lambda v: knn_indices_pallas(v, 20))(x))
+        for depth in (2, 4):
+            two = np.asarray(
+                jax.jit(
+                    lambda v, d=depth: knn_indices_pallas_2l(v, 20, depth=d)
+                )(x)
+            )
+            np.testing.assert_array_equal(flat, two)
+        # ties + lane exhaustion
+        xt = jnp.asarray(
+            np.round(rng.normal(size=(B, N, 3)), 1).astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(lambda v: knn_indices_pallas(v, 20))(xt)),
+            np.asarray(jax.jit(lambda v: knn_indices_pallas_2l(v, 20))(xt)),
+        )
+        cents = coords[:, :C] * 0.2
+        fi, fb = jax.jit(
+            lambda c, p: ball_query_pallas(c, p, 0.2, K)
+        )(cents, coords * 0.2)
+        ti, tb = jax.jit(
+            lambda c, p: ball_query_pallas_2l(c, p, 0.2, K)
+        )(cents, coords * 0.2)
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(ti))
+        np.testing.assert_array_equal(np.asarray(fb), np.asarray(tb))
+
     record("fps_compiled_vs_oracle", check_fps)
     record("ballquery_compiled_vs_oracle", check_ballquery)
     record("knn_compiled_vs_oracle", check_knn)
     record("three_nn_compiled_vs_oracle", check_three_nn)
     record("pointnetpp_forward_compiled_vs_oracle", check_model_forward)
+    record("select2l_compiled_vs_flat", check_select2l)
     return checks
 
 
