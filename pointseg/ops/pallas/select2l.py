@@ -195,12 +195,17 @@ def _extract_body(dist_ref, *refs, k, S, W, T, tile, emit):
         es_r[T - 1][:, :] = jnp.where(is_lane, ones_i, es_r[T - 1][:, :])
 
 
-def pick_seg(n: int, max_seg: int = 256) -> int | None:
+def pick_seg(n: int, max_seg: int = 256, max_w: int = 32) -> int | None:
     """Largest multiple-of-128 divisor of n <= max_seg with >=2 slices,
-    or None when the two-level layout doesn't apply."""
+    or None when the two-level layout doesn't apply.
+
+    `max_w` bounds the slice count W = n/s: the level-1/refill folds are
+    Python-unrolled over W, so huge-N eval buckets (the defensive
+    65536-point bucket would unroll 256 slices) fall back to the flat
+    kernel instead of exploding program size/compile time."""
     s = max_seg
     while s >= 128:
-        if n % s == 0 and n // s >= 2:
+        if n % s == 0 and 2 <= n // s <= max_w:
             return s
         s -= 128
     return None
