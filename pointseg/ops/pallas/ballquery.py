@@ -107,15 +107,16 @@ def ball_query_pallas(
     """
     B, C, _ = centroids.shape
     N = coords.shape[1]
-    if C % tile != 0:
-        from pointseg.ops.pallas import pick_tile
+    from pointseg.ops.pallas import pick_tile
 
-        tile = pick_tile(C, 256)
-        if tile is None:
-            raise ValueError(
-                f"no valid tile for C={C}; pad the point count to a "
-                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
-            )
+    # re-pick even when C % tile == 0: the (tile, N) distance scratch
+    # must fit the scoped-VMEM budget at large eval buckets
+    tile = pick_tile(C, tile, row_bytes=4 * N)
+    if tile is None:
+        raise ValueError(
+            f"no valid tile for C={C}; pad the point count to a "
+            "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+        )
     # selection is non-differentiable; keep AD out of the kernel
     centroids = jax.lax.stop_gradient(centroids.astype(jnp.float32))
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
@@ -157,15 +158,16 @@ def ball_query_pallas_2l(
     """
     B, C, _ = centroids.shape
     N = coords.shape[1]
-    if C % tile != 0:
-        from pointseg.ops.pallas import pick_tile
+    from pointseg.ops.pallas import pick_tile
 
-        tile = pick_tile(C, 256)
-        if tile is None:
-            raise ValueError(
-                f"no valid tile for C={C}; pad the point count to a "
-                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
-            )
+    # per-row scratch: the (tile, N) distance block plus the ~18
+    # (tile, seg) level-2 state arrays (depth <= 5)
+    tile = pick_tile(C, tile, row_bytes=4 * N + 18 * 4 * seg)
+    if tile is None:
+        raise ValueError(
+            f"no valid tile for C={C}; pad the point count to a "
+            "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+        )
     if N % seg != 0 or N // seg < 2:
         raise ValueError(f"two-level ball query needs N % {seg} == 0 and >=2 slices")
     centroids = jax.lax.stop_gradient(centroids.astype(jnp.float32))

@@ -108,15 +108,16 @@ def knn_indices_pallas_2l(
     back to the flat kernel otherwise.
     """
     B, N, F = x.shape
-    if N % tile != 0:
-        from pointseg.ops.pallas import pick_tile
+    from pointseg.ops.pallas import pick_tile
 
-        tile = pick_tile(N, 512)
-        if tile is None:
-            raise ValueError(
-                f"no valid tile for N={N}; pad the point count to a "
-                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
-            )
+    # per-row scratch: the (tile, N) distance block plus the ~18
+    # (tile, seg) level-2 state arrays (depth <= 5)
+    tile = pick_tile(N, tile, row_bytes=4 * N + 18 * 4 * seg)
+    if tile is None:
+        raise ValueError(
+            f"no valid tile for N={N}; pad the point count to a "
+            "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+        )
     if N % seg != 0 or N // seg < 2:
         raise ValueError(f"two-level kNN needs N % {seg} == 0 and >=2 slices")
     x = jax.lax.stop_gradient(x.astype(jnp.float32))
@@ -149,16 +150,16 @@ def knn_indices_pallas(x: jax.Array, k: int, tile: int = 512) -> jax.Array:
         (B, N, k) int32 neighbor indices.
     """
     B, N, F = x.shape
-    if N % tile != 0:
-        # fall back to a tile that divides N
-        from pointseg.ops.pallas import pick_tile
+    from pointseg.ops.pallas import pick_tile
 
-        tile = pick_tile(N, 512)
-        if tile is None:
-            raise ValueError(
-                f"no valid tile for N={N}; pad the point count to a "
-                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
-            )
+    # re-pick even when N % tile == 0: the (tile, N) distance scratch
+    # must fit the scoped-VMEM budget at large eval buckets
+    tile = pick_tile(N, tile, row_bytes=4 * N)
+    if tile is None:
+        raise ValueError(
+            f"no valid tile for N={N}; pad the point count to a "
+            "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+        )
     # selection is non-differentiable; keep AD out of the kernel
     x = jax.lax.stop_gradient(x.astype(jnp.float32))
 

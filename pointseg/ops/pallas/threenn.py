@@ -60,15 +60,16 @@ def three_nn_pallas(
     """
     B, N, _ = coords_tgt.shape
     M = coords_src.shape[1]
-    if N % tile != 0:
-        from pointseg.ops.pallas import pick_tile
+    from pointseg.ops.pallas import pick_tile
 
-        tile = pick_tile(N, 512)
-        if tile is None:
-            raise ValueError(
-                f"no valid tile for N={N}; pad the point count to a "
-                "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
-            )
+    # re-pick even when N % tile == 0: the (tile, M) distance scratch
+    # must fit the scoped-VMEM budget when the source set is large
+    tile = pick_tile(N, tile, row_bytes=4 * M)
+    if tile is None:
+        raise ValueError(
+            f"no valid tile for N={N}; pad the point count to a "
+            "multiple of 8 or disable Pallas (POINTSEG_PALLAS=0)"
+        )
     # selection is non-differentiable; keep AD out of the kernel
     coords_tgt = jax.lax.stop_gradient(coords_tgt.astype(jnp.float32))
     coords_src = jax.lax.stop_gradient(coords_src.astype(jnp.float32))

@@ -122,6 +122,21 @@ def test_pick_tile():
     assert pick_tile(48) == 48 and 48 % 8 == 0
     assert pick_tile(1500) is None  # no multiple-of-8 divisor
     assert pick_tile(7) is None
+    # scoped-VMEM cap: a (tile, N) f32 scratch must fit the budget, so
+    # big eval buckets get small tiles instead of failing to compile
+    assert pick_tile(4096, 512, row_bytes=4 * 4096) == 512  # fits as-is
+    assert pick_tile(16384, 512, row_bytes=4 * 16384) == 128
+    assert pick_tile(65536, 512, row_bytes=4 * 65536) == 32
+
+
+def test_pick_seg():
+    from pointseg.ops.pallas.select2l import pick_seg
+
+    assert pick_seg(4096) == 256
+    assert pick_seg(256) == 128
+    assert pick_seg(8192) == 256
+    assert pick_seg(16384) is None  # W cap: fall back to flat
+    assert pick_seg(1500) is None
 
 
 def test_ops_fall_back_to_oracle_for_untileable_shapes(rng):
