@@ -387,6 +387,68 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment/dispatch diagnostics.
+
+    Answers the questions that page people at 3am: which backend will
+    run, which kernel paths dispatch, is the native parser available,
+    is the compile cache on — with a watchdog so a wedged accelerator
+    runtime reports as such instead of hanging the terminal (the axon
+    relay failure mode, CLAUDE.md)."""
+    import threading
+
+    from pointseg.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+
+    print(f"pointseg {__import__('pointseg').__version__}")
+    print(f"jax {jax.__version__}")
+
+    res: dict = {}
+
+    def probe():
+        try:
+            devs = jax.devices()
+            x = jax.jit(lambda a: a * 2)(jax.numpy.ones((8, 128)))
+            jax.device_get(x.ravel()[0])
+            res["devices"] = [str(d) for d in devs]
+        except Exception as e:  # noqa: BLE001
+            res["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "120")))
+    if t.is_alive():
+        print("devices: HUNG — backend init did not return (wedged "
+              "relay/driver?); set JAX_PLATFORMS=cpu or POINTSEG_PLATFORM=cpu "
+              "to work on CPU")
+        return 1
+    if "error" in res:
+        print(f"devices: ERROR — {res['error']}")
+        return 1
+    print(f"devices: {res['devices']}")
+
+    from pointseg.ops.dispatch import use_pallas, use_select2l
+    from pointseg.ops.gather import scatter_strategy
+
+    print(f"pallas kernels: {'ON' if use_pallas() else 'off (pure-JAX oracle)'}"
+          f"  [POINTSEG_PALLAS={os.environ.get('POINTSEG_PALLAS', '<auto>')}]")
+    print(f"two-level selection: {'ON' if use_select2l() else 'off'}"
+          f"  [POINTSEG_SELECT2L={os.environ.get('POINTSEG_SELECT2L', '<default>')}]")
+    print(f"gather-backward strategy: {scatter_strategy()}"
+          f"  [POINTSEG_SCATTER={os.environ.get('POINTSEG_SCATTER', '<auto>')}]")
+    print(f"ball-query filler mode: "
+          f"{os.environ.get('POINTSEG_BQ_FILLER', 'repeat')}")
+
+    from pointseg.data.native import get_lib
+
+    print(f"native ETL parser: "
+          f"{'available' if get_lib() is not None else 'unavailable (Python fallback)'}")
+    print(f"compile cache: {jax.config.jax_compilation_cache_dir}")
+    return 0
+
+
 def cmd_import_torch(args) -> int:
     """Converts a reference PyTorch checkpoint into a pointseg one.
 
@@ -604,6 +666,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "point-density shift, see train/state.py::"
                         "bn_adapted_model).")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("doctor", help="Environment/dispatch diagnostics.")
+    p.set_defaults(func=cmd_doctor)
 
     p = sub.add_parser(
         "import-torch",

@@ -34,8 +34,17 @@ def test_train_help():
 def test_cli_subcommands_listed():
     out = _run(["-m", "pointseg", "--help"])
     assert out.returncode == 0
-    for sub in ["train", "prepare", "evaluate", "benchmark", "train-legacy"]:
+    for sub in ["train", "prepare", "evaluate", "benchmark", "train-legacy",
+                "import-torch", "doctor"]:
         assert sub in out.stdout
+
+
+def test_doctor():
+    out = _run(["-m", "pointseg", "doctor"])
+    assert out.returncode == 0, out.stderr
+    for line in ["devices:", "pallas kernels:", "gather-backward strategy:",
+                 "native ETL parser:", "compile cache:"]:
+        assert line in out.stdout
 
 
 def test_unknown_model_rejected():
