@@ -10,6 +10,23 @@ from pointseg.train.state import create_train_state, train_step
 C = 14
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """Multi-device programs must neither load from nor write to the
+    persistent compilation cache: EXECUTING an AOT-cache-loaded XLA:CPU
+    collective executable poisons the process's collective runtime for
+    every LATER fresh-compiled collective program — worker threads then
+    arrive at different collectives of the same run and rendezvous.cc
+    aborts the process after its 40 s termination timeout (jax 0.9.0;
+    measured: this module is green with a cold cache and SIGABRTs at
+    the dryrun with a warm one, while the loaded executables themselves
+    run correctly). CLAUDE.md "XLA:CPU persistent-cache reload"."""
+    was = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", was)
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
