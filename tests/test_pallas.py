@@ -49,6 +49,22 @@ def test_knn_two_level_matches_oracle(rng):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.parametrize("seed,depth,k", [(0, 2, 20), (1, 3, 12), (2, 4, 7),
+                                          (3, 2, 31)])
+def test_knn_two_level_random_depths(seed, depth, k):
+    """Randomized guard across stack depths: shallow depths force the
+    lazy refill path constantly (uniform lane draws birthday-collide),
+    deep ones exercise the long shift chains. W=2 slices maximizes
+    same-lane traffic."""
+    from pointseg.ops.pallas.knn import knn_indices_pallas_2l
+
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.normal(size=(2, 256, 16)).astype(np.float32))
+    flat = np.asarray(knn_indices_pallas(x, k, tile=64))
+    two = np.asarray(knn_indices_pallas_2l(x, k, tile=64, seg=128, depth=depth))
+    np.testing.assert_array_equal(flat, two)
+
+
 def test_knn_two_level_matches_flat_on_ties(rng):
     """Heavy ties + lane exhaustion: duplicated coordinates force the
     lazy refill path and same-lane tie chains. The two kernels compute
