@@ -393,6 +393,30 @@ def test_import_torch_cli_roundtrip(rng, tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
+    # full migration journey: the imported checkpoint dir must be
+    # directly consumable by the evaluate CLI (config-sidecar model
+    # discovery, 14-class block mode) on a synthetic block dataset
+    from pointseg.data.synthetic import make_block_dataset
+
+    data_dir = tmp_path / "blocks"
+    make_block_dataset(str(data_dir), areas=(1, 2, 3, 4, 5, 6),
+                       rooms_per_area=1, points_per_room=2000, seed=0)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "pointseg.cli", "evaluate",
+            "--model-path", str(out_dir), "--data-path", str(data_dir),
+            "--sampling", "128", "--batch-size", "2",
+        ],
+        capture_output=True, text=True, timeout=560, cwd=repo,
+        env=dict(
+            os.environ, JAX_PLATFORMS="cpu", POINTSEG_PLATFORM="cpu",
+            POINTSEG_COMPILE_CACHE="/tmp/jax_cache",
+        ),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Loaded PointNet" in res.stdout
+    assert "Mean IoU" in res.stdout
+
 
 # --------------------------------------------------- model param parity
 
