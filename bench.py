@@ -30,7 +30,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
 import time
 import traceback
 
@@ -69,29 +68,9 @@ def _emit(value: float, vs_baseline: float, error: str | None = None) -> None:
 
 def _discover_devices_with_watchdog():
     """jax.devices() on a daemon thread; None on timeout (hung relay)."""
-    import jax
+    from pointseg.runtime import watchdog_devices
 
-    result: dict = {}
-
-    def probe():
-        try:
-            result["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001 — report, don't crash
-            result["error"] = f"{type(e).__name__}: {e}"
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(INIT_TIMEOUT_S)
-    if t.is_alive():
-        return None, (
-            f"backend init hung >{INIT_TIMEOUT_S:.0f}s inside jax.devices() — "
-            "the axon relay grant is likely wedged (see CLAUDE.md 'Relay "
-            "failure mode'). Check for orphaned TPU-holding processes "
-            "(ps aux | grep python) and retry."
-        )
-    if "error" in result:
-        return None, f"backend init failed: {result['error']}"
-    return result["devices"], None
+    return watchdog_devices(INIT_TIMEOUT_S)
 
 
 def main() -> int:

@@ -395,9 +395,7 @@ def cmd_doctor(args) -> int:
     is the compile cache on — with a watchdog so a wedged accelerator
     runtime reports as such instead of hanging the terminal (the axon
     relay failure mode, CLAUDE.md)."""
-    import threading
-
-    from pointseg.runtime import setup_runtime
+    from pointseg.runtime import setup_runtime, watchdog_devices
 
     setup_runtime()
     import jax
@@ -405,29 +403,12 @@ def cmd_doctor(args) -> int:
     print(f"pointseg {__import__('pointseg').__version__}")
     print(f"jax {jax.__version__}")
 
-    res: dict = {}
-
-    def probe():
-        try:
-            devs = jax.devices()
-            x = jax.jit(lambda a: a * 2)(jax.numpy.ones((8, 128)))
-            jax.device_get(x.ravel()[0])
-            res["devices"] = [str(d) for d in devs]
-        except Exception as e:  # noqa: BLE001
-            res["error"] = f"{type(e).__name__}: {e}"
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "120")))
-    if t.is_alive():
-        print("devices: HUNG — backend init did not return (wedged "
-              "relay/driver?); set JAX_PLATFORMS=cpu or POINTSEG_PLATFORM=cpu "
-              "to work on CPU")
+    devices, err = watchdog_devices(probe_compute=True)
+    if devices is None:
+        print(f"devices: ERROR — {err}\n  (set JAX_PLATFORMS=cpu or "
+              "POINTSEG_PLATFORM=cpu to work on CPU)")
         return 1
-    if "error" in res:
-        print(f"devices: ERROR — {res['error']}")
-        return 1
-    print(f"devices: {res['devices']}")
+    print(f"devices: {[str(d) for d in devices]}")
 
     from pointseg.ops.dispatch import use_pallas, use_select2l
     from pointseg.ops.gather import scatter_strategy

@@ -130,7 +130,9 @@ def ball_query(
         )
         from pointseg.ops.pallas.select2l import pick_seg
 
-        if pick_tile(centroids.shape[1], 256) is not None:
+        # same VMEM-budget cap as the wrapper (scratch rows span N)
+        if pick_tile(centroids.shape[1], 256,
+                     row_bytes=4 * coords.shape[1]) is not None:
             seg = pick_seg(coords.shape[1]) if use_select2l() else None
             if seg is not None:
                 idx, in_ball = ball_query_pallas_2l(

@@ -41,7 +41,9 @@ def three_nn(
         from pointseg.ops.pallas import pick_tile
         from pointseg.ops.pallas.threenn import three_nn_pallas
 
-        if pick_tile(coords_tgt.shape[1]) is not None:
+        # same VMEM-budget cap as the wrapper (scratch rows span M)
+        if pick_tile(coords_tgt.shape[1],
+                     row_bytes=4 * coords_src.shape[1]) is not None:
             return three_nn_pallas(coords_tgt, coords_src, k)
 
     d2 = pairwise_sqdist(coords_tgt, coords_src)  # (B, N, M)

@@ -51,7 +51,9 @@ def knn_indices(
         )
         from pointseg.ops.pallas.select2l import pick_seg
 
-        if pick_tile(x.shape[1]) is not None:
+        # same VMEM-budget cap as the wrapper, so the guard and the
+        # kernel agree about when Pallas applies (oracle otherwise)
+        if pick_tile(x.shape[1], row_bytes=4 * x.shape[1]) is not None:
             seg = pick_seg(x.shape[1]) if use_select2l() else None
             if seg is not None:
                 return knn_indices_pallas_2l(x, k, seg=seg)

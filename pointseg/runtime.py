@@ -44,6 +44,61 @@ def setup_runtime(cache_dir: str | None = None) -> None:
         pass  # older jax without these options
 
 
+def watchdog_devices(timeout_s: float | None = None, probe_compute: bool = False):
+    """`jax.devices()` behind a daemon-thread watchdog.
+
+    On the relayed TPU runtime, backend init can HANG FOREVER when the
+    remote grant is wedged (CLAUDE.md "Relay failure mode") — a plain
+    jax.devices() call then wedges the whole process. Every entry point
+    that must stay responsive (bench.py, tools/verify_tpu.py,
+    `pointseg doctor`) shares this probe.
+
+    Args:
+        timeout_s: seconds before declaring the backend hung (default:
+            POINTSEG_BENCH_INIT_TIMEOUT env or 180).
+        probe_compute: additionally run a tiny jitted computation and
+            fetch a scalar — catches relays that enumerate devices but
+            hang on execution.
+
+    Returns:
+        (devices, None) on success, (None, reason) on hang or error.
+    """
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "180"))
+
+    import jax
+
+    result: dict = {}
+
+    def probe():
+        try:
+            devices = jax.devices()
+            if probe_compute:
+                import jax.numpy as jnp
+
+                x = jax.jit(lambda a: a * 2)(jnp.ones((8, 128)))
+                jax.device_get(x.ravel()[0])
+            result["devices"] = devices
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return None, (
+            f"backend init hung >{timeout_s:.0f}s inside jax.devices() — "
+            "the relay grant is likely wedged (see CLAUDE.md 'Relay "
+            "failure mode'). Check for orphaned TPU-holding processes "
+            "(ps aux | grep python) and retry."
+        )
+    if "error" in result:
+        return None, f"backend init failed: {result['error']}"
+    return result["devices"], None
+
+
 def oom_advice(batch_size: int | None = None, num_points: int | None = None) -> str:
     """Remediation hints for device OOM (reference evaluate.py:108-113)."""
     lines = ["Out of device memory. Try:"]

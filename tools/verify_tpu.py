@@ -26,7 +26,6 @@ import argparse
 import json
 import os
 import sys
-import threading
 import time
 import traceback
 
@@ -39,24 +38,9 @@ INIT_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "180"))
 
 
 def _watchdog_devices():
-    import jax
+    from pointseg.runtime import watchdog_devices
 
-    res: dict = {}
-
-    def probe():
-        try:
-            res["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001
-            res["error"] = f"{type(e).__name__}: {e}"
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(INIT_TIMEOUT_S)
-    if t.is_alive():
-        return None, f"jax.devices() hung >{INIT_TIMEOUT_S:.0f}s (wedged relay?)"
-    if "error" in res:
-        return None, res["error"]
-    return res["devices"], None
+    return watchdog_devices(INIT_TIMEOUT_S)
 
 
 def _run_checks():
@@ -159,7 +143,7 @@ def _run_checks():
 
         x = jnp.asarray(rng.normal(size=(B, N, 64)).astype(np.float32))
         flat = np.asarray(jax.jit(lambda v: knn_indices_pallas(v, 20))(x))
-        for depth in (2, 4):
+        for depth in (2, 3, 4):
             two = np.asarray(
                 jax.jit(
                     lambda v, d=depth: knn_indices_pallas_2l(v, 20, depth=d)
