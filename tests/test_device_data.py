@@ -143,6 +143,25 @@ def test_device_loader_feeds_train_step(block_dir):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_chunked_prefetcher_matches_loader(block_dir):
+    """ChunkedDevicePrefetcher must yield exactly the wrapped loader's
+    batches (content and order), across shape-change flushes (bucketed
+    pads / short final batches) and chunk boundaries."""
+    from pointseg.data.device import ChunkedDevicePrefetcher
+
+    ds = BlockDataset(block_dir, {1, 2}, sampling=None)
+    kw = dict(batch_size=3, shuffle=False, pad_to=None, buckets=(512, 1024, 4096),
+              prefetch=0, num_workers=0)
+    plain = list(Loader(ds, **kw))
+    wrapped = list(ChunkedDevicePrefetcher(Loader(ds, **kw), chunk=4))
+    assert len(plain) == len(wrapped)
+    assert len(wrapped) == len(ChunkedDevicePrefetcher(Loader(ds, **kw)))
+    for (p1, l1, n1), (p2, l2, n2) in zip(plain, wrapped):
+        np.testing.assert_array_equal(p1, np.asarray(p2))
+        np.testing.assert_array_equal(l1, np.asarray(l2))
+        np.testing.assert_array_equal(n1, np.asarray(n2))
+
+
 def test_parallel_loader_matches_serial(block_dir):
     ds = BlockDataset(block_dir, {1, 2}, sampling=None)
     kw = dict(batch_size=3, shuffle=False, pad_to=4096, prefetch=0)
