@@ -42,6 +42,14 @@ REFERENCE_CPU_POINTS_PER_SEC = 3124.0
 
 METRIC = "s3dis_train_points_per_sec_per_chip"
 INIT_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "180"))
+# Total-runtime watchdog: device discovery is covered by INIT_TIMEOUT_S,
+# but the relay can also wedge AFTER discovery (mid remote-compile or
+# mid-execution), which would hang the driver forever. Remote compiles
+# are legitimately slow (6-52 min observed for one step program —
+# CLAUDE.md "Remote compile times are a lottery"), so the ceiling is
+# generous; it exists to convert "infinite stall" into a diagnosable
+# nonzero-rc JSON line.
+TOTAL_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_TOTAL_TIMEOUT", "6000"))
 
 # Recommended TPU training configuration: bfloat16 activations with
 # float32 parameters/optimizer state. Convergence is equal to f32 within
@@ -88,6 +96,21 @@ def main() -> int:
         # gets the rc instead of waiting on a non-daemon teardown.
         sys.stdout.flush()
         os._exit(1)
+
+    import threading
+
+    def _total_watchdog():
+        time.sleep(TOTAL_TIMEOUT_S)
+        _emit(
+            0.0,
+            0.0,
+            f"benchmark exceeded POINTSEG_BENCH_TOTAL_TIMEOUT={TOTAL_TIMEOUT_S:.0f}s "
+            "(relay likely wedged mid-compile/mid-execution)",
+        )
+        sys.stdout.flush()
+        os._exit(1)
+
+    threading.Thread(target=_total_watchdog, daemon=True).start()
 
     try:
         from pointseg.models import PointNetPP
