@@ -85,6 +85,14 @@ def main() -> int:
     try:
         import jax
         import jax.numpy as jnp
+
+        from pointseg.runtime import setup_runtime
+
+        # Before discovery: honors POINTSEG_PLATFORM (the hosting
+        # sitecustomize latches JAX_PLATFORMS before user code runs, so
+        # a CPU override must go through jax.config) and enables the
+        # persistent compile cache.
+        setup_runtime()
     except Exception:  # noqa: BLE001
         _emit(0.0, 0.0, "jax import failed:\n" + traceback.format_exc())
         return 1
@@ -114,10 +122,7 @@ def main() -> int:
 
     try:
         from pointseg.models import PointNetPP
-        from pointseg.runtime import setup_runtime
         from pointseg.train.state import create_train_state, train_step
-
-        setup_runtime()
 
         B, N, C = 8, 4096, 14
         rng = np.random.default_rng(0)
