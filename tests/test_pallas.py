@@ -205,3 +205,28 @@ def test_knn_kernel_bf16_input_upcasts(rng):
     ref = np.asarray(knn_indices_pallas(x16.astype(jnp.float32), 6, tile=64))
     got = np.asarray(knn_indices_pallas(x16, 6, tile=64))
     np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.parametrize("variant", ["dma", "flat"])
+def test_native_gather_matches_take_along_axis(rng, variant):
+    """Experimental row-gather kernels (ops/pallas/gather.py) vs the
+    XLA oracle. These are the reproducible record of a negative result
+    (Mosaic rejects them on hardware — see the module docstring);
+    interpret mode proves the kernel logic itself is exact, so the
+    rejection evidence in AB_NATIVE_GATHER_r02.json is about hardware
+    constraints, not kernel bugs."""
+    from pointseg.ops.pallas.gather import gather_rows_dma, gather_rows_flat
+
+    B, N, C, M = 2, 128, 16, 256
+    table = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, size=(B, M)).astype(np.int32))
+    want = np.asarray(jnp.take_along_axis(table, idx[:, :, None], axis=1))
+    if variant == "flat":
+        flat_idx = (idx + (jnp.arange(B) * N)[:, None]).reshape(-1)
+        got = np.asarray(
+            gather_rows_flat(table.reshape(B * N, C), flat_idx,
+                             chunk=128, window=4)
+        ).reshape(B, M, C)
+    else:
+        got = np.asarray(gather_rows_dma(table, idx, chunk=128, window=4))
+    np.testing.assert_array_equal(want, got)
