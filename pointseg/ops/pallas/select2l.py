@@ -98,6 +98,12 @@ def two_level_extract(dist_ref, k: int, seg: int, emit, depth: int | None = None
     )
 
 
+def _lane_slice(dist_ref, w, S):
+    """(tile, S) slice w of the distance block — dynamic lane offset
+    (multiples of S >= 128 satisfy Mosaic's lane tiling; chip-verified)."""
+    return dist_ref[:, pl.ds(w * S, S)]
+
+
 def _extract_body(dist_ref, *refs, k, S, W, T, tile, emit):
     vs_r = refs[:T]
     as_r = refs[T:2 * T]
@@ -115,29 +121,38 @@ def _extract_body(dist_ref, *refs, k, S, W, T, tile, emit):
     #   else unchanged — all reads from OLD levels (no carry chain).
     # Strict > means equal values insert BELOW earlier (lower-w) ones:
     # first-occurrence tie order, same as the flat kernels/lax.top_k.
-    vs = [jnp.full((tile, S), neg, jnp.float32) for _ in range(T)]
-    ws = [jnp.zeros((tile, S), jnp.int32) for _ in range(T)]
-    for w in range(W):
-        d = dist_ref[:, w * S:(w + 1) * S]
-        wv = jnp.full((tile, S), w, jnp.int32)
-        ge = [d > vs[t] for t in range(T)]
-        new_vs = []
-        new_ws = []
-        for t in range(T):
-            above = ge[t - 1] if t > 0 else jnp.zeros((tile, S), jnp.bool_)
-            new_vs.append(
-                jnp.where(above, vs[t - 1] if t > 0 else d,
-                          jnp.where(ge[t], d, vs[t]))
-            )
-            new_ws.append(
-                jnp.where(above, ws[t - 1] if t > 0 else wv,
-                          jnp.where(ge[t], wv, ws[t]))
-            )
-        vs, ws = new_vs, new_ws
+    #
+    # The fold runs as a fori_loop updating the stack REFS in place —
+    # a Python-unrolled fold keeps every iteration's temporaries live
+    # on Mosaic's scoped-vmem stack (measured: W=16 at tile=128 blows
+    # the 16 MB limit by ~11 MB), and a stacked (T, tile, S) value
+    # carry still doubles the state (tile=256 exceeds the limit by
+    # fractions of a MB). In-place keeps the live set at ~T+4 (tile, S)
+    # temporaries. Levels update DESCENDING so each step reads only
+    # old values (new[t] depends on old[t-1], old[t]).
     for t in range(T):
-        vs_r[t][:, :] = vs[t]
-        as_r[t][:, :] = ws[t]
-        es_r[t][:, :] = (vs[t] == neg).astype(jnp.int32)
+        vs_r[t][:, :] = jnp.full((tile, S), neg, jnp.float32)
+        as_r[t][:, :] = jnp.zeros((tile, S), jnp.int32)
+
+    def l1_body(w, carry):
+        d = _lane_slice(dist_ref, w, S)             # (tile, S)
+        wv = jnp.broadcast_to(w, (tile, S)).astype(jnp.int32)
+        ge = [d > vs_r[t][:, :] for t in range(T)]
+        for t in range(T - 1, -1, -1):
+            above = ge[t - 1] if t > 0 else jnp.zeros((tile, S), jnp.bool_)
+            vs_r[t][:, :] = jnp.where(
+                above, vs_r[t - 1][:, :] if t > 0 else d,
+                jnp.where(ge[t], d, vs_r[t][:, :])
+            )
+            as_r[t][:, :] = jnp.where(
+                above, as_r[t - 1][:, :] if t > 0 else wv,
+                jnp.where(ge[t], wv, as_r[t][:, :])
+            )
+        return carry
+
+    jax.lax.fori_loop(0, W, l1_body, jnp.int32(0))
+    for t in range(T):
+        es_r[t][:, :] = (vs_r[t][:, :] == neg).astype(jnp.int32)
     vl_r[:, :] = jnp.zeros((tile, S), jnp.float32)
     wl_r[:, :] = jnp.zeros((tile, S), jnp.int32)
     pend_r[:, :] = jnp.zeros((tile, S), jnp.int32)
@@ -151,17 +166,27 @@ def _extract_body(dist_ref, *refs, k, S, W, T, tile, emit):
                 p = pend_r[:, :] == 1
                 vl = vl_r[:, :]
                 wl = wl_r[:, :]
-                nv = jnp.full((tile, S), neg, jnp.float32)
-                na = jnp.zeros((tile, S), jnp.int32)
-                for w in range(W):
-                    d = dist_ref[:, w * S:(w + 1) * S]
+
+                def refill_body(w, carry):
+                    nv, na = carry
+                    d = _lane_slice(dist_ref, w, S)
                     ok = jnp.logical_or(
                         d < vl, jnp.logical_and(d == vl, w > wl)
                     )
                     cand = jnp.where(ok, d, neg)
                     b = cand > nv
                     nv = jnp.where(b, cand, nv)
-                    na = jnp.where(b, jnp.full((tile, S), w, jnp.int32), na)
+                    na = jnp.where(
+                        b, jnp.broadcast_to(w, (tile, S)).astype(jnp.int32),
+                        na,
+                    )
+                    return nv, na
+
+                nv, na = jax.lax.fori_loop(
+                    0, W, refill_body,
+                    (jnp.full((tile, S), neg, jnp.float32),
+                     jnp.zeros((tile, S), jnp.int32)),
+                )
                 vs_r[0][:, :] = jnp.where(p, nv, vs_r[0][:, :])
                 as_r[0][:, :] = jnp.where(p, na, as_r[0][:, :])
                 es_r[0][:, :] = jnp.where(
