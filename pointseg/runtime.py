@@ -14,7 +14,40 @@ train_model.py:462-471). The JAX/TPU equivalents:
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def host_fingerprint() -> str:
+    """Short hash of the host CPU's identity and feature flags.
+
+    The persistent compile cache stores XLA:CPU ahead-of-time compiled
+    executables. Those are machine-code artifacts: loading one compiled
+    on a host with different CPU features is undefined behavior (the
+    AOT loader warns "could lead to execution errors such as SIGILL").
+    This environment's host machine can change between sessions while
+    /tmp caches persist, so cache directories are keyed by this
+    fingerprint — a different host simply starts a fresh cache instead
+    of loading foreign machine code.
+    """
+    ident = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    ident.append(line.strip())
+                    if len(ident) >= 2:
+                        break
+    except OSError:
+        import platform
+
+        ident = [platform.machine(), platform.processor()]
+    return hashlib.sha256("|".join(ident).encode()).hexdigest()[:10]
+
+
+def host_cache_dir(base: str) -> str:
+    """Compile-cache path keyed by host identity (see host_fingerprint)."""
+    return f"{base}-{host_fingerprint()}"
 
 
 def setup_runtime(cache_dir: str | None = None) -> None:
@@ -34,9 +67,9 @@ def setup_runtime(cache_dir: str | None = None) -> None:
         except Exception:
             pass  # backend already initialized
 
-    cache_dir = cache_dir or os.environ.get(
-        "POINTSEG_COMPILE_CACHE", "/tmp/pointseg_compile_cache"
-    )
+    cache_dir = cache_dir or os.environ.get("POINTSEG_COMPILE_CACHE")
+    if cache_dir is None:
+        cache_dir = host_cache_dir("/tmp/pointseg_compile_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -28,7 +28,12 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: test runs are compile-bound on CPU.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Keyed by host CPU identity — XLA:CPU caches AOT machine code, and a
+# cache written by a different-microarch host is a SIGILL risk (the
+# AOT loader warns exactly that when /tmp persists across hosts).
+from pointseg.runtime import host_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", host_cache_dir("/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

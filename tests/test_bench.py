@@ -13,12 +13,14 @@ import os
 import subprocess
 import sys
 
+from pointseg.runtime import host_cache_dir
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",
     POINTSEG_PLATFORM="cpu",
-    POINTSEG_COMPILE_CACHE="/tmp/jax_cache",
+    POINTSEG_COMPILE_CACHE=host_cache_dir("/tmp/jax_cache"),
 )
 
 

@@ -5,6 +5,8 @@ import os
 import subprocess
 import sys
 
+from pointseg.runtime import host_cache_dir
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,
@@ -14,7 +16,7 @@ ENV = dict(
     JAX_PLATFORMS="cpu",
     POINTSEG_PLATFORM="cpu",
     XLA_FLAGS="--xla_force_host_platform_device_count=2",
-    POINTSEG_COMPILE_CACHE="/tmp/jax_cache",
+    POINTSEG_COMPILE_CACHE=host_cache_dir("/tmp/jax_cache"),
 )
 
 

@@ -27,6 +27,8 @@ from pointseg import ops  # noqa: E402
 from pointseg.train import loss as L  # noqa: E402
 from pointseg.train import metrics as M  # noqa: E402
 
+from pointseg.runtime import host_cache_dir
+
 
 # ---------------------------------------------------------------- loss
 
@@ -370,7 +372,7 @@ def test_import_torch_cli_roundtrip(rng, tmp_path):
         capture_output=True, text=True, timeout=560, cwd=repo,
         env=dict(
             os.environ, JAX_PLATFORMS="cpu", POINTSEG_PLATFORM="cpu",
-            POINTSEG_COMPILE_CACHE="/tmp/jax_cache",
+            POINTSEG_COMPILE_CACHE=host_cache_dir("/tmp/jax_cache"),
         ),
     )
     assert res.returncode == 0, res.stderr
@@ -410,7 +412,7 @@ def test_import_torch_cli_roundtrip(rng, tmp_path):
         capture_output=True, text=True, timeout=560, cwd=repo,
         env=dict(
             os.environ, JAX_PLATFORMS="cpu", POINTSEG_PLATFORM="cpu",
-            POINTSEG_COMPILE_CACHE="/tmp/jax_cache",
+            POINTSEG_COMPILE_CACHE=host_cache_dir("/tmp/jax_cache"),
         ),
     )
     assert res.returncode == 0, res.stderr[-2000:]

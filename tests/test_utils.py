@@ -120,3 +120,16 @@ def test_device_stream_bucket_reuse(rng):
         predict_single_scene_device(fwd, rng.normal(size=(n, 9)).astype(np.float32),
                                     window_size=64, overlap=16, num_classes=C)
     assert _device_scene_fn.cache_info().misses == before + 1
+
+
+def test_host_cache_dir_is_host_keyed():
+    """Compile-cache dirs embed a host fingerprint: XLA:CPU persists AOT
+    machine code, and loading artifacts compiled on a different-microarch
+    host risks SIGILL (the AOT loader's own warning). Same host -> stable
+    path; the suffix must derive from CPU identity, not randomness."""
+    from pointseg.runtime import host_cache_dir, host_fingerprint
+
+    a = host_cache_dir("/tmp/x")
+    assert a == host_cache_dir("/tmp/x")  # deterministic
+    assert a.startswith("/tmp/x-") and len(a) == len("/tmp/x-") + 10
+    assert host_fingerprint() in a
