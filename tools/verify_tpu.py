@@ -17,7 +17,10 @@ bench.py. Each check compares:
                 filler slots compared as counts, semantics unspecified)
   - knn:        neighbor index sets, exact equality
   - three_nn:   indices exact + distances to 1e-5
-plus forward logits of PointNet++ (the composed model) Pallas-vs-oracle.
+plus forward logits of PointNet++ (the composed model) Pallas-vs-oracle,
+the two-level selection kernels vs the flat ones (bit-exact), the
+custom-VJP gather backward strategies vs XLA's scatter-add autodiff,
+and the packed feature+coord gather vs separate gathers.
 """
 
 from __future__ import annotations
@@ -168,12 +171,70 @@ def _run_checks():
         np.testing.assert_array_equal(np.asarray(fi), np.asarray(ti))
         np.testing.assert_array_equal(np.asarray(fb), np.asarray(tb))
 
+    def check_gather_backward():
+        """Round-2 custom-VJP gather (ops/gather.py): the one-hot MXU
+        backward must agree with the XLA scatter-add autodiff on chip
+        (exact products at Precision.HIGHEST; sums reassociate), and
+        the bf16x2 split must land within its documented ~1e-4-relative
+        envelope."""
+        from pointseg.ops import gather as G
+
+        table = jnp.asarray(rng.normal(size=(4, 2048, 64)).astype(np.float32))
+        idx = jnp.asarray(
+            rng.integers(0, 2048, size=(4, 40960)).astype(np.int32))
+        ct = jnp.asarray(rng.normal(size=(4, 40960, 64)).astype(np.float32))
+
+        def grad_with(strategy):
+            G.set_scatter_strategy(strategy)
+            try:
+                g = jax.jit(
+                    jax.grad(lambda t: jnp.sum(G.gather_rows(t, idx) * ct))
+                )(table)
+                return np.asarray(g)
+            finally:
+                G.set_scatter_strategy(None)
+
+        want = grad_with("xla")
+        np.testing.assert_allclose(
+            grad_with("onehot"), want, rtol=1e-5, atol=1e-4)
+        scale = np.abs(want).max()
+        err = np.abs(grad_with("bf16x2") - want)
+        assert err.max() <= 5e-4 * (scale + 1.0), (
+            f"bf16x2 split error {err.max()} vs scale {scale}")
+
+    def check_packed_gather():
+        """Round-2 packed feature+coord gather
+        (ops/gather.py::gather_rows_with_coords): features bit-equal to
+        a plain gather in both dtypes; f32 coords riding a bf16 table
+        reconstruct through the arithmetic hi/lo split to ~1e-4 rel."""
+        from pointseg.ops import gather as G
+
+        idx = jnp.asarray(
+            rng.integers(0, 4096, size=(4, 1024, 32)), jnp.int32)
+        coords_t = jnp.asarray(
+            (rng.normal(size=(4, 4096, 3)) * 3).astype(np.float32))
+        for dt in (jnp.float32, jnp.bfloat16):
+            feat = jnp.asarray(
+                rng.normal(size=(4, 4096, 32)).astype(np.float32)
+            ).astype(dt)
+            gf, gc = jax.jit(G.gather_rows_with_coords)(feat, coords_t, idx)
+            np.testing.assert_array_equal(
+                np.asarray(gf), np.asarray(G.gather_rows(feat, idx)))
+            ref = np.asarray(G.gather_rows(coords_t, idx))
+            if dt == jnp.float32:
+                np.testing.assert_array_equal(np.asarray(gc), ref)
+            else:
+                err = np.abs(np.asarray(gc) - ref)
+                assert err.max() <= 1e-4 * (np.abs(ref).max() + 1.0)
+
     record("fps_compiled_vs_oracle", check_fps)
     record("ballquery_compiled_vs_oracle", check_ballquery)
     record("knn_compiled_vs_oracle", check_knn)
     record("three_nn_compiled_vs_oracle", check_three_nn)
     record("pointnetpp_forward_compiled_vs_oracle", check_model_forward)
     record("select2l_compiled_vs_flat", check_select2l)
+    record("gather_backward_strategies_agree", check_gather_backward)
+    record("packed_gather_vs_separate", check_packed_gather)
     return checks
 
 
