@@ -230,6 +230,11 @@ def main() -> int:
 
         capture("pnpp_bf16_step",
                 model_step("PointNet++", dtype=jnp.bfloat16), ())
+    if "pnext_bf16" in args.sections:
+        import jax.numpy as jnp
+
+        capture("pnext_bf16_step",
+                model_step("PointNeXt", dtype=jnp.bfloat16), ())
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
