@@ -8,21 +8,32 @@ jitted fwd+bwd+Adam step on one chip, and reports points/sec. The step
 uses the framework's recommended TPU precision (bf16 activations, f32
 params — convergence proven equal, see BENCH_DTYPE below).
 
+After the headline, a time-budgeted sweep measures EVERY model family
+(PointNet, PointNet++, PointNeXt, DGCNN) in both bf16 and f32 and
+reports them in a `per_model` dict (VERDICT round-2 item 7: the
+reference documents per-model expectations, README_DGCNN.md:111-117,
+and a single-model headline hides the 8x spread). The sweep is
+best-effort: remote compiles are a lottery (6-52 min observed for one
+program), so each entry checks the remaining budget first and the
+sweep degrades to "skipped (time budget)" entries rather than risking
+the headline.
+
 `vs_baseline` is the speedup over the reference PyTorch implementation
 executed on CPU at the identical configuration (B=8, N=4096, fwd+bwd+
-Adam), measured once on this machine via /tmp-style harness (see
-tools/measure_reference_baseline.py): REFERENCE_CPU_POINTS_PER_SEC.
+Adam), measured once on this machine via
+tools/measure_reference_baseline.py: REFERENCE_CPU_POINTS_PER_SEC.
 The driver's north star is >=10x this number (BASELINE.json:5).
 
 Defensive against relay failure (round-1 postmortem, VERDICT.md weak#1):
 the axon PJRT client can HANG forever inside backend init when the
 remote grant is wedged, so device discovery runs on a watchdogged
-daemon thread. On timeout or error the script still prints its one JSON
-line — with an "error" field naming the failure — and exits nonzero,
-instead of stalling the driver.
+daemon thread, and a total-runtime watchdog emits the BEST RESULT SO
+FAR (headline included, if already measured) instead of stalling the
+driver or zeroing out a finished measurement.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "per_model": {...}}
 """
 
 from __future__ import annotations
@@ -30,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -48,8 +60,12 @@ INIT_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "180"))
 # are legitimately slow (6-52 min observed for one step program —
 # CLAUDE.md "Remote compile times are a lottery"), so the ceiling is
 # generous; it exists to convert "infinite stall" into a diagnosable
-# nonzero-rc JSON line.
+# JSON line that still carries everything measured so far.
 TOTAL_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_TOTAL_TIMEOUT", "6000"))
+# The per-model sweep only STARTS a new (model, dtype) measurement while
+# elapsed < this fraction of the total budget, keeping headroom for one
+# slow compile already in flight.
+SWEEP_BUDGET_FRACTION = 0.7
 
 # Recommended TPU training configuration: bfloat16 activations with
 # float32 parameters/optimizer state. Convergence is equal to f32 within
@@ -58,27 +74,35 @@ TOTAL_TIMEOUT_S = float(os.environ.get("POINTSEG_BENCH_TOTAL_TIMEOUT", "6000"))
 # POINTSEG_BENCH_DTYPE=float32 to reproduce the pure-f32 number the
 # round-1/2 baselines used.
 BENCH_DTYPE = os.environ.get("POINTSEG_BENCH_DTYPE", "bfloat16")
+# Sweep control: POINTSEG_BENCH_PER_MODEL=0 restores the headline-only
+# round-1/2 behavior.
+PER_MODEL = os.environ.get("POINTSEG_BENCH_PER_MODEL", "1") not in (
+    "0", "false", "False")
+
+_RESULT: dict = {
+    "metric": METRIC,
+    "value": 0.0,
+    "unit": "points/sec",
+    "vs_baseline": 0.0,
+}
+if BENCH_DTYPE != "float32":
+    _RESULT["config"] = f"{BENCH_DTYPE} activations, float32 params"
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
 
 
-def _emit(value: float, vs_baseline: float, error: str | None = None) -> None:
-    rec = {
-        "metric": METRIC,
-        "value": round(value, 1),
-        "unit": "points/sec",
-        "vs_baseline": round(vs_baseline, 2),
-    }
-    if BENCH_DTYPE != "float32":
-        rec["config"] = f"{BENCH_DTYPE} activations, float32 params"
-    if error:
-        rec["error"] = error
-    print(json.dumps(rec), flush=True)
-
-
-def _discover_devices_with_watchdog():
-    """jax.devices() on a daemon thread; None on timeout (hung relay)."""
-    from pointseg.runtime import watchdog_devices
-
-    return watchdog_devices(INIT_TIMEOUT_S)
+def _emit(error: str | None = None) -> None:
+    """Prints the one JSON line (at most once, thread-safe: the total
+    watchdog and the main path race on teardown)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        rec = dict(_RESULT)
+        if error:
+            rec["error"] = error
+        print(json.dumps(rec), flush=True)
 
 
 def main() -> int:
@@ -94,35 +118,45 @@ def main() -> int:
         # persistent compile cache.
         setup_runtime()
     except Exception:  # noqa: BLE001
-        _emit(0.0, 0.0, "jax import failed:\n" + traceback.format_exc())
+        _emit("jax import failed:\n" + traceback.format_exc())
         return 1
 
-    devices, err = _discover_devices_with_watchdog()
+    from pointseg.runtime import watchdog_devices
+
+    devices, err = watchdog_devices(INIT_TIMEOUT_S)
     if devices is None:
-        _emit(0.0, 0.0, err)
+        _emit(err)
         # The hung thread can't be cancelled; hard-exit so the driver
         # gets the rc instead of waiting on a non-daemon teardown.
         sys.stdout.flush()
         os._exit(1)
 
-    import threading
+    t_start = time.monotonic()
 
     def _total_watchdog():
         time.sleep(TOTAL_TIMEOUT_S)
-        _emit(
-            0.0,
-            0.0,
-            f"benchmark exceeded POINTSEG_BENCH_TOTAL_TIMEOUT={TOTAL_TIMEOUT_S:.0f}s "
-            "(relay likely wedged mid-compile/mid-execution)",
+        have_headline = _RESULT["value"] > 0
+        note = (
+            f"exceeded POINTSEG_BENCH_TOTAL_TIMEOUT={TOTAL_TIMEOUT_S:.0f}s "
+            + ("during the per-model sweep (headline is valid)"
+               if have_headline
+               else "(relay likely wedged mid-compile/mid-execution)")
         )
+        if have_headline:
+            _RESULT.setdefault("per_model", {})["_note"] = note
+            _emit()
+            sys.stdout.flush()
+            os._exit(0)
+        _emit(note)
         sys.stdout.flush()
         os._exit(1)
 
     threading.Thread(target=_total_watchdog, daemon=True).start()
 
     try:
-        from pointseg.models import PointNetPP
-        from pointseg.train.state import create_train_state, train_step
+        from pointseg.models import create_model
+        from pointseg.train import state as state_mod
+        from pointseg.train.state import create_train_state
 
         B, N, C = 8, 4096, 14
         rng = np.random.default_rng(0)
@@ -131,9 +165,6 @@ def main() -> int:
             np.eye(C, dtype=np.uint8)[rng.integers(0, C, size=(B, N))]
         )
         lengths = jnp.full((B,), N, jnp.int32)
-
-        model = PointNetPP(num_classes=C, dtype=jnp.dtype(BENCH_DTYPE))
-        state = create_train_state(model, points, 1e-3)
         key = jax.random.key(0)
 
         # NB: under the axon relay, block_until_ready returns before the
@@ -142,28 +173,62 @@ def main() -> int:
         def sync(x):
             jax.device_get(x.ravel()[0])
 
-        # warmup (compile + a few steps)
-        for _ in range(5):
-            state, m = train_step(state, points, labels, lengths, key)
-        sync(m["loss"])
-
-        # relay throughput varies run to run; report the median of several
-        # chained-chunk measurements
-        chunk, n_chunks = 10, 6
-        per_chunk = []
-        for _ in range(n_chunks):
-            t0 = time.perf_counter()
-            for _ in range(chunk):
-                state, m = train_step(state, points, labels, lengths, key)
+        def measure(model_name: str, dtype_name: str,
+                    chunk: int = 10, n_chunks: int = 6) -> float:
+            """Median points/sec over chained-step chunks (relay
+            throughput fluctuates ±15-40% run to run)."""
+            model = create_model(
+                model_name, num_classes=C, dtype=jnp.dtype(dtype_name))
+            # fresh jit per entry: donated buffers must not alias across
+            # models, and per-model compile cost is what the budget guards
+            step = jax.jit(
+                state_mod.train_step.__wrapped__, donate_argnums=(0,))
+            state = create_train_state(model, points, 1e-3)
+            for _ in range(5):
+                state, m = step(state, points, labels, lengths, key)
             sync(m["loss"])
-            per_chunk.append((time.perf_counter() - t0) / chunk)
-        dt = float(np.median(per_chunk))
+            per_chunk = []
+            for _ in range(n_chunks):
+                t0 = time.perf_counter()
+                for _ in range(chunk):
+                    state, m = step(state, points, labels, lengths, key)
+                sync(m["loss"])
+                per_chunk.append((time.perf_counter() - t0) / chunk)
+            return B * N / float(np.median(per_chunk))
 
-        pps = B * N / dt
-        _emit(pps, pps / REFERENCE_CPU_POINTS_PER_SEC)
+        # ---- headline: flagship model at the recommended precision ----
+        pps = measure("PointNet++", BENCH_DTYPE)
+        _RESULT["value"] = round(pps, 1)
+        _RESULT["vs_baseline"] = round(pps / REFERENCE_CPU_POINTS_PER_SEC, 2)
+
+        # ---- per-model sweep (budget-guarded, best-effort) ----
+        if PER_MODEL:
+            per_model: dict = {}
+            _RESULT["per_model"] = per_model
+            per_model[f"PointNet++/{BENCH_DTYPE}"] = round(pps, 1)
+            other_dtype = (
+                "float32" if BENCH_DTYPE == "bfloat16" else "bfloat16")
+            sweep = [
+                ("PointNet", BENCH_DTYPE), ("PointNet", other_dtype),
+                ("PointNet++", other_dtype),
+                ("PointNeXt", BENCH_DTYPE), ("PointNeXt", other_dtype),
+                ("DeepGraphCnn", BENCH_DTYPE), ("DeepGraphCnn", other_dtype),
+            ]
+            budget = t_start + SWEEP_BUDGET_FRACTION * TOTAL_TIMEOUT_S
+            for name, dt in sweep:
+                tag = f"{name}/{dt}"
+                if time.monotonic() > budget:
+                    per_model[tag] = "skipped (time budget)"
+                    continue
+                try:
+                    per_model[tag] = round(measure(name, dt, n_chunks=3), 1)
+                except Exception as e:  # noqa: BLE001 — keep the headline
+                    per_model[tag] = f"failed: {type(e).__name__}"
+
+        _emit()
         return 0
     except Exception:  # noqa: BLE001
-        _emit(0.0, 0.0, "benchmark failed:\n" + traceback.format_exc())
+        _emit("benchmark failed:\n" + traceback.format_exc())
         return 1
 
 

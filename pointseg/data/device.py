@@ -169,6 +169,107 @@ class DeviceBlockStore:
         return perm.astype(jnp.int32)
 
 
+def upload_flat(
+    arr: np.ndarray, chunk_rows: int = 16_000_000, sharding=None,
+) -> jax.Array:
+    """Streams a large host array to the device in row chunks.
+
+    A single device_put of a ~10 GB table is one giant relay message
+    (and one giant host buffer pin); chunked dynamic_update_slice into
+    a DONATED device buffer keeps peak HBM at table + one chunk and
+    gives the relay link regular synchronization points. Used by the
+    full-scale store path (VERDICT round-2 item 4).
+    """
+    n = arr.shape[0]
+    if n <= chunk_rows:
+        return jax.device_put(arr, sharding)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _update(buf, chunk, start):
+        # start is a traced scalar: one executable for all full chunks
+        # (+ one for the tail), not one per offset
+        return jax.lax.dynamic_update_slice(
+            buf, chunk, (start,) + (0,) * (arr.ndim - 1))
+
+    buf = jnp.zeros(arr.shape, dtype=arr.dtype,
+                    device=sharding) if sharding is not None else \
+        jnp.zeros(arr.shape, dtype=arr.dtype)
+    # two compiles max: the full chunk and the tail
+    for start in range(0, n, chunk_rows):
+        chunk = jax.device_put(np.ascontiguousarray(
+            arr[start:start + chunk_rows]))
+        buf = _update(buf, chunk, np.int32(start))
+    return buf
+
+
+def hbm_bytes_limit() -> int | None:
+    """The accelerator's memory capacity, when the backend reports it."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("bytes_limit")) if stats else None
+    except Exception:
+        return None
+
+
+def device_store_or_host_loader(
+    dataset,
+    batch_size: int,
+    npoints: int = 4096,
+    num_classes: int = NUM_S3DIS_CLASSES,
+    seed: int = 0,
+    *,
+    model_workspace_bytes: int = 5 << 30,
+    hbm_limit: int | None = None,
+    store_bytes_estimate: int | None = None,
+    chunk: int = 8,
+    num_workers: int = 8,
+):
+    """The training-input policy: device store when it fits, chunked
+    host prefetcher when it doesn't (VERDICT round-2 item 4).
+
+    The store must leave room for the model's step temporaries
+    (DGCNN's measured worst case is ~4.8 GB at B=8/N=4096/k=20 —
+    `model_workspace_bytes` defaults above it), so the budget is
+    hbm_limit − workspace. When `store_bytes_estimate` is given
+    (callers that know their dataset size can skip a doomed upload),
+    an over-budget store goes straight to the host path; otherwise the
+    store is attempted and an allocation failure falls back.
+
+    Returns (loader, mode) with mode in {"device", "host"}.
+    """
+    from pointseg.runtime import is_oom_error
+
+    limit = hbm_limit if hbm_limit is not None else hbm_bytes_limit()
+    doomed = (
+        store_bytes_estimate is not None and limit is not None
+        and store_bytes_estimate + model_workspace_bytes > limit
+    )
+    if not doomed:
+        try:
+            store = DeviceBlockStore.from_block_dataset(
+                dataset, num_classes=num_classes, num_workers=num_workers)
+            return (
+                DeviceEpochLoader(store, batch_size, npoints, seed=seed),
+                "device",
+            )
+        except Exception as e:  # noqa: BLE001 — only OOM falls back
+            if not is_oom_error(e):
+                raise
+    import copy
+
+    from pointseg.data.datasets import Loader
+
+    # the device store wants raw blocks (sampling=None); the host path
+    # samples on the host exactly like the reference loader
+    sampled = copy.copy(dataset)
+    if hasattr(sampled, "sampling"):
+        sampled.sampling = npoints
+    host = Loader(sampled, batch_size=batch_size, shuffle=True,
+                  pad_to=npoints, num_classes=num_classes, seed=seed,
+                  num_workers=num_workers)
+    return ChunkedDevicePrefetcher(host, chunk=chunk), "host"
+
+
 class ChunkedDevicePrefetcher:
     """Amortizes host->device transfer latency for host loaders.
 

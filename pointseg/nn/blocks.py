@@ -37,14 +37,18 @@ def _fps_key(module: nn.Module):
 # are 128 B at 64 channels and gather at ~16 GB/s effective on the
 # relay chip vs ~70 GB/s for 256 B f32 rows (PROFILE_r02_bf16: the four
 # edge gathers are 21 ms of the 80 ms step), so paying a 2x-bytes
-# upcast can still win wall time. Read at trace time; NOT part of the
-# jit cache key — re-jit after changing (tools/ab_dgcnn_copies.py does).
+# upcast can still win wall time. Read at trace time; the setter below
+# drops every cached executable so a flip can never reuse a stale
+# trace (VERDICT round-2 weak #7).
 _EDGE_GATHER_UPCAST: bool = False
 
 
 def set_edge_gather_upcast(enabled: bool) -> None:
     global _EDGE_GATHER_UPCAST
-    _EDGE_GATHER_UPCAST = bool(enabled)
+    enabled = bool(enabled)
+    if enabled != _EDGE_GATHER_UPCAST:
+        _EDGE_GATHER_UPCAST = enabled
+        jax.clear_caches()  # already-jitted callers must re-trace
 
 
 class GroupedFirstLayer(nn.Module):

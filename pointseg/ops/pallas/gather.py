@@ -109,7 +109,7 @@ def _dma_kernel(idx_hbm, table_ref, out_ref, idx_smem, idx_sem, sems,
 
 @functools.partial(jax.jit, static_argnames=("chunk", "window"))
 def gather_rows_dma(
-    table: jax.Array, idx: jax.Array, *, chunk: int = 512, window: int = 8
+    table: jax.Array, idx: jax.Array, *, chunk: int = 1024, window: int = 8
 ) -> jax.Array:
     """Row gather issuing one HBM->HBM DMA per row (ringed semaphores).
 
@@ -119,7 +119,11 @@ def gather_rows_dma(
 
     Returns:
         (B, M, C) gathered rows, forward-only. Exact in interpret mode;
-        rejected by Mosaic on hardware (see module docstring).
+        rejected by Mosaic on hardware (see module docstring). The
+        default chunk=1024 matches the 1024-element 1-D tiling the
+        (chunk,) int32 SMEM index fetch needs on hardware, so the
+        recorded Mosaic rejection isolates the ROW-COPY barrier, not
+        the index fetch (ADVICE.md round 2).
     """
     table = jax.lax.stop_gradient(table)
     idx = jax.lax.stop_gradient(idx.astype(jnp.int32))
@@ -168,7 +172,7 @@ def _flat_kernel(idx_hbm, table_ref, out_ref, idx_smem, idx_sem, sems,
 
 @functools.partial(jax.jit, static_argnames=("chunk", "window"))
 def gather_rows_flat(
-    table: jax.Array, idx: jax.Array, *, chunk: int = 512, window: int = 8
+    table: jax.Array, idx: jax.Array, *, chunk: int = 1024, window: int = 8
 ) -> jax.Array:
     """Row gather over FLAT views: table (R, C) + absolute idx (Mrows,).
 

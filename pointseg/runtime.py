@@ -39,6 +39,12 @@ def host_fingerprint() -> str:
                     if len(ident) >= 2:
                         break
     except OSError:
+        pass
+    if not ident:
+        # cpuinfo formats without 'model name'/'flags' lines (e.g.
+        # aarch64 uses 'CPU implementer'/'Features') would otherwise
+        # hash identically across hosts — fall back to the platform
+        # identity rather than an empty string (ADVICE.md round 2).
         import platform
 
         ident = [platform.machine(), platform.processor()]

@@ -117,7 +117,17 @@ def dgcnn_components(repo_root: str) -> list[dict] | None:
     sec = prof["sections"]["dgcnn_bf16_step"]
     fam = sec["op_families_per_call_ms"]
     rows = 8 * 4096 * 20  # one (B, N, k) edge gather
-    gather_ms = 4 * 5.36  # 4 per-layer edge gathers (top_ops, 5.36 each)
+    # Edge gathers are the fusions that take the flat s32[B*N*k] index
+    # vector and produce a [B*N*k, C] row table. Derive their time from
+    # the loaded profile so a re-captured PROFILE file can't silently
+    # desynchronize this decomposition (ADVICE.md round 2).
+    gather_ops = [
+        o for o in sec["top_ops"]
+        if f"s32[{rows}]" in o["op"] and f"bf16[{rows}," in o["op"].split("=")[1]
+    ]
+    gather_ms = sum(o["per_call_ms"] for o in gather_ops)
+    if not gather_ops:  # profile predates this format — keep the r02 value
+        gather_ms = 4 * 5.36
     knn_ms = fam["knn_indices_pallas"]
     total = sec["wall_ms_per_call"]
     comps = [

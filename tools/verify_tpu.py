@@ -227,7 +227,29 @@ def _run_checks():
                 err = np.abs(np.asarray(gc) - ref)
                 assert err.max() <= 1e-4 * (np.abs(ref).max() + 1.0)
 
+    def check_gather_forward():
+        """Round-3 one-hot MXU FORWARD gather (ops/gather.py::_take_rows,
+        AB_FWD_GATHER_r03): must be BITWISE equal to take_along_axis on
+        chip in both dtypes (products are 1.0*x or 0.0; adding zeros
+        changes no value)."""
+        from pointseg.ops import gather as G
+
+        idx = jnp.asarray(rng.integers(0, 4096, size=(4, 8192)), jnp.int32)
+        for dt in (jnp.float32, jnp.bfloat16):
+            table = jnp.asarray(
+                rng.normal(size=(4, 4096, 64)).astype(np.float32)
+            ).astype(dt)
+            try:
+                G.set_gather_forward("xla")
+                want = np.asarray(jax.jit(G.gather_rows)(table, idx))
+                G.set_gather_forward("onehot")
+                got = np.asarray(jax.jit(G.gather_rows)(table, idx))
+            finally:
+                G.set_gather_forward(None)
+            np.testing.assert_array_equal(got, want)
+
     record("fps_compiled_vs_oracle", check_fps)
+    record("gather_forward_onehot_bitwise", check_gather_forward)
     record("ballquery_compiled_vs_oracle", check_ballquery)
     record("knn_compiled_vs_oracle", check_knn)
     record("three_nn_compiled_vs_oracle", check_three_nn)
