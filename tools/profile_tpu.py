@@ -120,7 +120,7 @@ def main() -> int:
                 k: round(v["ms"] / reps, 4)
                 for k, v in sorted(fam.items(), key=lambda kv: -kv[1]["ms"])
                 if v["ms"] / reps > 0.005}
-            top = sorted(sync_tot.items(), key=lambda kv: -kv[1]["ms"])[:25]
+            top = sorted(sync_tot.items(), key=lambda kv: -kv[1]["ms"])[:60]
             sec["top_ops"] = [
                 {"op": k, "total_ms": round(v["ms"], 3), "count": v["count"],
                  "per_call_ms": round(v["ms"] / reps, 4), "line": v["line"]}
