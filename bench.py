@@ -196,10 +196,49 @@ def main() -> int:
                 per_chunk.append((time.perf_counter() - t0) / chunk)
             return B * N / float(np.median(per_chunk))
 
+        def measure_scanned(model_name: str, dtype_name: str,
+                            chunk: int = 10, n_chunks: int = 6) -> float:
+            """Same workload via the fused multi-step program
+            (`train_steps_repeated`): each chunk is ONE dispatched
+            lax.scan of `chunk` train steps, so per-step host dispatch
+            — the binding cost for the lighter models on a loaded or
+            relayed host — is paid once per chunk. This is the shipped
+            `--scan-steps` training path, not a bench-only trick."""
+            model = create_model(
+                model_name, num_classes=C, dtype=jnp.dtype(dtype_name))
+            state = create_train_state(model, points, 1e-3)
+            state, ms = state_mod.train_steps_repeated(
+                state, points, labels, lengths, key, n_steps=chunk)
+            sync(ms["loss"])
+            per_chunk = []
+            for _ in range(n_chunks):
+                t0 = time.perf_counter()
+                state, ms = state_mod.train_steps_repeated(
+                    state, points, labels, lengths, key, n_steps=chunk)
+                sync(ms["loss"])
+                per_chunk.append((time.perf_counter() - t0) / chunk)
+            return B * N / float(np.median(per_chunk))
+
         # ---- headline: flagship model at the recommended precision ----
         pps = measure("PointNet++", BENCH_DTYPE)
         _RESULT["value"] = round(pps, 1)
         _RESULT["vs_baseline"] = round(pps / REFERENCE_CPU_POINTS_PER_SEC, 2)
+        _RESULT["per_step_dispatch"] = round(pps, 1)
+
+        # the fused multi-step path (one dispatch per 10 steps) usually
+        # beats per-step dispatch; measured after the sequential number
+        # is already recorded so a wedged compile can't lose the headline
+        try:
+            pps_scan = measure_scanned("PointNet++", BENCH_DTYPE)
+            _RESULT["scan10"] = round(pps_scan, 1)
+            if pps_scan > pps:
+                pps = pps_scan
+                _RESULT["value"] = round(pps, 1)
+                _RESULT["vs_baseline"] = round(
+                    pps / REFERENCE_CPU_POINTS_PER_SEC, 2)
+                _RESULT["headline_mode"] = "scan10"
+        except Exception as e:  # noqa: BLE001 — keep the headline
+            _RESULT["scan10"] = f"failed: {type(e).__name__}"
 
         # ---- per-model sweep (budget-guarded, best-effort) ----
         if PER_MODEL:

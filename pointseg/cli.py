@@ -67,6 +67,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="Keep the whole train split resident in HBM and "
                         "sample blocks/points on device (zero per-step "
                         "host I/O; with-replacement point sampling).")
+    p.add_argument("--scan-steps", type=int, default=1,
+                   help="With --device-data: fuse K (sample -> train "
+                        "step) iterations into one lax.scan program "
+                        "per dispatch (same batches/rng as K=1; cuts "
+                        "per-step host dispatch overhead by K).")
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--log-dir", default="saved_runs")
     p.add_argument("--model-dir", default="saved_models")
@@ -217,6 +222,7 @@ def cmd_train(args) -> int:
             config=config,
             confusion_dir=os.path.join(log_path, "confusion")
             if args.save_confusion else None,
+            scan_steps=args.scan_steps,
         )
     except Exception as e:
         if is_oom_error(e):

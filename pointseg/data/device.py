@@ -367,6 +367,47 @@ class ChunkedDevicePrefetcher:
             stop.set()
 
 
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "npoints", "num_classes", "n_steps"),
+    donate_argnums=(4,),
+)
+def _sample_train_scan(
+    points, labels, offsets, counts,      # store tables (NOT donated)
+    state,                                # TrainState (donated)
+    order, step, key, rng,
+    *,
+    batch_size: int,
+    npoints: int,
+    num_classes: int,
+    n_steps: int,
+):
+    """`n_steps` of (sample batch -> train step) fused into ONE program.
+
+    The sampler body is `_sample_batch` and the step body is
+    `train_step` — the same computations the sequential
+    DeviceEpochLoader + train_epoch path runs, threaded through a
+    `lax.scan` carry instead of 2 host dispatches per step. On a
+    dispatch-bound host (relay latency, or a single-core CPU driving
+    the device) this is the difference between host-limited and
+    device-limited training throughput.
+    """
+    from pointseg.train.state import train_step
+
+    def body(carry, _):
+        st, stp, k = carry
+        pts, onehot, lengths, stp, k = _sample_batch.__wrapped__(
+            points, labels, offsets, counts, order, stp, k,
+            batch_size=batch_size, npoints=npoints, num_classes=num_classes,
+        )
+        st, m = train_step.__wrapped__(st, pts, onehot, lengths, rng)
+        return (st, stp, k), m
+
+    (state, step, key), ms = jax.lax.scan(
+        body, (state, step, key), None, length=n_steps)
+    return state, step, key, ms
+
+
 class DeviceEpochLoader:
     """Iterable adapter: plugs the device store into the existing
     `train_epoch` loop (which accepts any iterable of
@@ -387,16 +428,49 @@ class DeviceEpochLoader:
             return m // self.batch_size
         return (m + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _epoch_start(self):
         # one host->device interaction per EPOCH (the fold_in); the
         # per-step loop only chains device-resident computations
         ek = jax.random.fold_in(self._key, self._epoch)
         self._epoch += 1
         shuffle_key, key = jax.random.split(ek)
         order = self.store.epoch_order(shuffle_key, self.batch_size)
-        step = jnp.zeros((), jnp.int32)
+        return order, jnp.zeros((), jnp.int32), key
+
+    def __iter__(self):
+        order, step, key = self._epoch_start()
         for _ in range(len(self)):
             pts, onehot, lengths, step, key = self.store.sample(
                 order, step, key, self.batch_size, self.npoints,
             )
             yield pts, onehot, lengths
+
+    def scan_epoch(self, state, rng, scan_steps: int):
+        """One epoch with (sample -> step) fused `scan_steps` at a time
+        (`_sample_train_scan`): ceil(len/K) dispatches instead of
+        len(self) — same batch sequence, same rng streams as __iter__ +
+        sequential train_step (the remainder after the full chunks runs
+        through the identical scan program with n_steps=remainder).
+
+        Returns (state, metrics) with metrics a dict of
+        (num_steps,) device arrays (loss/accuracy/miou per step)."""
+        s = self.store
+        order, step, key = self._epoch_start()
+        total = len(self)
+        chunks = []
+        done = 0
+        while done < total:
+            k = min(scan_steps, total - done)
+            state, step, key, ms = _sample_train_scan(
+                s.points, s.labels, s.offsets, s.counts,
+                state, order, step, key, rng,
+                batch_size=self.batch_size, npoints=self.npoints,
+                num_classes=s.num_classes, n_steps=k,
+            )
+            chunks.append(ms)
+            done += k
+        metrics = {
+            name: jnp.concatenate([c[name] for c in chunks])
+            for name in chunks[0]
+        } if chunks else {}
+        return state, metrics

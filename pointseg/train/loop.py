@@ -47,8 +47,37 @@ def train_epoch(
     log_interval: int,
     global_step: int,
     verbose: bool = True,
+    scan_steps: int = 1,
 ) -> tuple[TrainState, float, int]:
-    """One pass over the training set (reference training.py:29-78)."""
+    """One pass over the training set (reference training.py:29-78).
+
+    `scan_steps > 1` with a `DeviceEpochLoader` fuses (sample -> step)
+    into one `lax.scan` program dispatched once per K steps — same
+    batch sequence and rng streams, host-dispatch cost /K
+    (`pointseg.data.device._sample_train_scan`). Per-interval logging
+    still happens, from the stacked per-step metrics.
+    """
+    from pointseg.data.device import DeviceEpochLoader
+
+    if scan_steps > 1 and isinstance(train_loader, DeviceEpochLoader):
+        state, ms = train_loader.scan_epoch(state, rng, scan_steps)
+        n = int(ms["loss"].shape[0]) if ms else 0
+        if logger is not None and n:
+            # one fetch for the whole epoch's stacked metrics
+            loss_h, acc_h, miou_h = (
+                np.asarray(ms["loss"]), np.asarray(ms["accuracy"]),
+                np.asarray(ms["miou"]),
+            )
+            for i in range(0, n, log_interval):
+                logger.add_scalar("Train/Loss", float(loss_h[i]),
+                                  global_step + i)
+                logger.add_scalar("Train/Accuracy", 100.0 * float(acc_h[i]),
+                                  global_step + i)
+                logger.add_scalar("Train/Mean_IoU", 100.0 * float(miou_h[i]),
+                                  global_step + i)
+        total_loss = float(jnp.mean(ms["loss"])) if n else 0.0
+        return state, total_loss, global_step + n
+
     # Losses accumulate as device scalars; ONE host sync per epoch (a
     # per-batch float() costs a full host round trip — on the relayed
     # runtime that dwarfed the 20ms step itself).
@@ -138,6 +167,7 @@ def train_model(
     config: dict | None = None,
     verbose: bool = True,
     confusion_dir: str | None = None,
+    scan_steps: int = 1,
 ) -> tuple[TrainState, dict]:
     """Full training run (reference training.py:135-180).
 
@@ -160,7 +190,7 @@ def train_model(
         epoch_rng = jax.random.fold_in(rng, epoch)
         state, train_loss, global_step = train_epoch(
             state, train_loader, epoch_rng, logger, log_interval, global_step,
-            verbose=verbose,
+            verbose=verbose, scan_steps=scan_steps,
         )
         ev = evaluate(state, test_loader, num_classes=num_classes)
         dt = time.time() - t0

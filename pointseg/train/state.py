@@ -145,6 +145,58 @@ def train_step(
     return new_state, {"loss": loss, "accuracy": accuracy, "miou": miou}
 
 
+@partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
+def train_steps_repeated(
+    state: TrainState,
+    points: jax.Array,
+    labels: jax.Array,
+    lengths: jax.Array,
+    rng: jax.Array,
+    *,
+    n_steps: int,
+) -> tuple[TrainState, dict]:
+    """`n_steps` optimization steps on the SAME batch under ONE dispatch.
+
+    Per-step host dispatch is pure overhead on the TPU runtime (a ~3 ms
+    floor per jitted call over the relay, PROFILE_r02.json; worse on a
+    loaded host) — for the lighter models it exceeds the device time
+    itself. Folding K steps into one `lax.scan` program pays dispatch
+    once per K steps; the body is bit-identical to `train_step` (same
+    rng fold by `state.step`, so dropout/FPS streams match the
+    sequential loop exactly). Returns stacked per-step metrics
+    (each a (n_steps,) device array).
+    """
+    def body(s, _):
+        s, m = train_step.__wrapped__(s, points, labels, lengths, rng)
+        return s, m
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def train_steps_stacked(
+    state: TrainState,
+    points: jax.Array,
+    labels: jax.Array,
+    lengths: jax.Array,
+    rng: jax.Array,
+) -> tuple[TrainState, dict]:
+    """One dispatch over a CHUNK of K batches with a leading scan axis
+    (points (K, B, N, F), labels (K, B, N, C), lengths (K, B)).
+
+    Pairs with `ChunkedDevicePrefetcher`, which already ships K host
+    batches per transfer — consuming the stacked chunk directly turns
+    K dispatches into one. Semantics identical to K sequential
+    `train_step` calls with the same `rng` (see train_steps_repeated).
+    """
+    def body(s, xs):
+        p, l, n = xs
+        s, m = train_step.__wrapped__(s, p, l, n, rng)
+        return s, m
+
+    return jax.lax.scan(body, state, (points, labels, lengths))
+
+
 def _eval_outputs(logits, labels, lengths) -> dict:
     loss = masked_onehot_cross_entropy(logits, labels, lengths)
     correct, total = M.update_accuracy(logits, labels, lengths)
