@@ -72,6 +72,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "step) iterations into one lax.scan program "
                         "per dispatch (same batches/rng as K=1; cuts "
                         "per-step host dispatch overhead by K).")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="Gradient accumulation: K consecutive loader "
+                        "batches -> ONE optimizer update (mean of "
+                        "micro-batch grads; effective batch K*B at "
+                        "single-batch peak HBM). Host loaders only; "
+                        "mutually exclusive with --scan-steps.")
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--log-dir", default="saved_runs")
     p.add_argument("--model-dir", default="saved_models")
@@ -223,6 +229,7 @@ def cmd_train(args) -> int:
             confusion_dir=os.path.join(log_path, "confusion")
             if args.save_confusion else None,
             scan_steps=args.scan_steps,
+            accum_steps=args.accum_steps,
         )
     except Exception as e:
         if is_oom_error(e):
@@ -390,6 +397,41 @@ def cmd_evaluate(args) -> int:
         with open(args.save_results, "w") as f:
             json.dump(out, f, indent=2)
         print(f"Results saved to {args.save_results}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Export a checkpoint's eval-mode forward as a StableHLO serving
+    artifact (pointseg.io.export_aot; weights stay in the checkpoint)."""
+    import jax.numpy as jnp
+
+    from pointseg.io.checkpoint import load_config, restore_train_state
+    from pointseg.io.export_aot import export_forward
+    from pointseg.models import create_model
+    from pointseg.runtime import setup_runtime
+    from pointseg.train.state import create_train_state
+
+    setup_runtime()
+    ckpt_dir = (
+        args.model_path if os.path.isdir(args.model_path)
+        else os.path.dirname(args.model_path)
+    )
+    config = load_config(ckpt_dir) or {}
+    model_name = args.model or config.get("model", "PointNet++")
+    use_bf16 = args.bf16 or bool(config.get("bf16"))
+    model = create_model(model_name, num_classes=args.num_classes,
+                        dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+    example = jnp.zeros((args.batch_size, args.npoints, 9), jnp.float32)
+    state = create_train_state(model, example)
+    state = restore_train_state(args.model_path, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    blob = export_forward(model, variables, example, platforms=platforms)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"Exported {model_name} (B={args.batch_size}, N={args.npoints}, "
+          f"platforms={platforms or 'default'}) -> {args.out} "
+          f"({len(blob) / 1024:.0f} KB)")
     return 0
 
 
@@ -653,6 +695,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "point-density shift, see train/state.py::"
                         "bn_adapted_model).")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser(
+        "export",
+        help="Export a checkpoint's forward as a StableHLO serving artifact.",
+    )
+    p.add_argument("model_path", help="Checkpoint file or directory.")
+    p.add_argument("--out", required=True, help="Output .stablehlo path.")
+    p.add_argument("--model", default=None, help="Model name (default: "
+                   "from the checkpoint's config sidecar).")
+    p.add_argument("--num-classes", type=int, default=NUM_S3DIS_CLASSES)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--npoints", type=int, default=4096,
+                   help="Serving shape: export one artifact per bucket.")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--platforms", default=None,
+                   help="Comma-separated lowering platforms, e.g. "
+                        "'cpu,tpu' (default: current backend).")
+    p.set_defaults(func=cmd_export)
 
     p = sub.add_parser("doctor", help="Environment/dispatch diagnostics.")
     p.set_defaults(func=cmd_doctor)

@@ -27,7 +27,9 @@ import numpy as np
 from pointseg.io.checkpoint import save_checkpoint
 from pointseg.train import metrics as M
 from pointseg.train.logging import MetricsLogger
-from pointseg.train.state import TrainState, eval_step, train_step
+from pointseg.train.state import (
+    TrainState, eval_step, train_step, train_step_accum,
+)
 
 
 def _dev(x):
@@ -48,6 +50,7 @@ def train_epoch(
     global_step: int,
     verbose: bool = True,
     scan_steps: int = 1,
+    accum_steps: int = 1,
 ) -> tuple[TrainState, float, int]:
     """One pass over the training set (reference training.py:29-78).
 
@@ -56,8 +59,22 @@ def train_epoch(
     batch sequence and rng streams, host-dispatch cost /K
     (`pointseg.data.device._sample_train_scan`). Per-interval logging
     still happens, from the stacked per-step metrics.
+
+    `accum_steps > 1` groups K consecutive loader batches into ONE
+    optimizer update via `train_step_accum` (gradient accumulation —
+    effective batch K*B at single-batch peak memory). A short trailing
+    group still accumulates (a second jitted shape, compiled once).
+    Mutually exclusive with `scan_steps`.
     """
     from pointseg.data.device import DeviceEpochLoader
+
+    if accum_steps > 1:
+        if scan_steps > 1:
+            raise ValueError("scan_steps and accum_steps are mutually exclusive")
+        return _train_epoch_accum(
+            state, train_loader, rng, logger, log_interval, global_step,
+            accum_steps,
+        )
 
     if scan_steps > 1 and isinstance(train_loader, DeviceEpochLoader):
         state, ms = train_loader.scan_epoch(state, rng, scan_steps)
@@ -99,6 +116,53 @@ def train_epoch(
         losses.append(metrics["loss"])
         num_batches += 1
         global_step += 1
+    total_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+    return state, total_loss, global_step
+
+
+def _train_epoch_accum(
+    state: TrainState,
+    train_loader: Iterable,
+    rng: jax.Array,
+    logger: MetricsLogger | None,
+    log_interval: int,
+    global_step: int,
+    accum_steps: int,
+) -> tuple[TrainState, float, int]:
+    """Gradient-accumulation epoch: K loader batches -> one update.
+
+    Batches are stacked on host (they are consecutive numpy loader
+    outputs, so the H2D put ships one (K,B,...) array — fewer, larger
+    transfers, which the relay prefers) and fed to `train_step_accum`.
+    `global_step` counts OPTIMIZER updates, matching `state.step`.
+    """
+    losses = []
+    group: list = []
+
+    def flush(state, group, global_step, losses):
+        stack = [np.stack(parts) for parts in zip(*group)]
+        state, metrics = train_step_accum(
+            state, _dev(stack[0]), _dev(stack[1]), _dev(stack[2]), rng,
+        )
+        if logger is not None and global_step % log_interval == 0:
+            logger.add_scalar("Train/Loss", float(metrics["loss"]), global_step)
+            logger.add_scalar(
+                "Train/Accuracy", 100.0 * float(metrics["accuracy"]), global_step
+            )
+            logger.add_scalar(
+                "Train/Mean_IoU", 100.0 * float(metrics["miou"]), global_step
+            )
+        losses.append(metrics["loss"])
+        return state, global_step + 1
+
+    for points, labels, lengths in train_loader:
+        group.append((np.asarray(points), np.asarray(labels),
+                      np.asarray(lengths)))
+        if len(group) == accum_steps:
+            state, global_step = flush(state, group, global_step, losses)
+            group = []
+    if group:
+        state, global_step = flush(state, group, global_step, losses)
     total_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
     return state, total_loss, global_step
 
@@ -168,6 +232,7 @@ def train_model(
     verbose: bool = True,
     confusion_dir: str | None = None,
     scan_steps: int = 1,
+    accum_steps: int = 1,
 ) -> tuple[TrainState, dict]:
     """Full training run (reference training.py:135-180).
 
@@ -190,7 +255,7 @@ def train_model(
         epoch_rng = jax.random.fold_in(rng, epoch)
         state, train_loss, global_step = train_epoch(
             state, train_loader, epoch_rng, logger, log_interval, global_step,
-            verbose=verbose, scan_steps=scan_steps,
+            verbose=verbose, scan_steps=scan_steps, accum_steps=accum_steps,
         )
         ev = evaluate(state, test_loader, num_classes=num_classes)
         dt = time.time() - t0

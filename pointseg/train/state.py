@@ -197,6 +197,88 @@ def train_steps_stacked(
     return jax.lax.scan(body, state, (points, labels, lengths))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def train_step_accum(
+    state: TrainState,
+    points: jax.Array,
+    labels: jax.Array,
+    lengths: jax.Array,
+    rng: jax.Array,
+) -> tuple[TrainState, dict]:
+    """ONE optimizer update from K micro-batches (gradient accumulation).
+
+    Shapes carry a leading micro-batch axis: points (K, B, N, F),
+    labels (K, B, N, C), lengths (K, B). Semantics:
+
+    - grads are the MEAN over the K micro-batch gradients, all taken at
+      the same (pre-update) params — exactly what one update on the
+      concatenated (K*B)-sample batch computes, up to BatchNorm batch
+      statistics (per-micro here, as in standard torch-style
+      accumulation) and float reassociation;
+    - BatchNorm running stats thread sequentially through the K
+      forwards, matching K consecutive un-stepped forwards;
+    - micro-batch i draws dropout/FPS rng from
+      fold_in(fold_in(rng, state.step), i), so streams are distinct per
+      micro-batch and reproducible;
+    - `state.step` advances by 1 (optimizer steps, not forwards).
+
+    Why: effective batch sizes whose activations don't fit HBM in one
+    program (DGCNN's step temporaries are ~4.8 GB at B=8/N=4096/k=20,
+    ROOFLINE_r02.json) — K micro-batches trade wall time for peak
+    memory inside one dispatched program. The reference has no
+    analogue (it is single-GPU memory-bound at fixed batch).
+    Returned metrics are means over the micro-batches.
+    """
+    base_rng = jax.random.fold_in(rng, state.step)
+    zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+    def body(carry, xs):
+        batch_stats, grad_sum, loss_sum, acc_sum, miou_sum = carry
+        p, l, n, i = xs
+        dropout_rng, fps_rng = jax.random.split(jax.random.fold_in(base_rng, i))
+
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                p,
+                train=True,
+                rngs={"dropout": dropout_rng, "fps": fps_rng},
+                mutable=["batch_stats"],
+            )
+            loss = masked_onehot_cross_entropy(logits, l, n)
+            return loss, (logits, updates["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+        acc = M.overall_accuracy(logits, l, n)
+        miou, _ = M.intersection_over_union(logits, l, n)
+        return (new_bs, grad_sum, loss_sum + loss, acc_sum + acc,
+                miou_sum + miou), None
+
+    k = points.shape[0]
+    init = (state.batch_stats, zero_grads,
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32))
+    idx = jnp.arange(k, dtype=jnp.int32)
+    (new_batch_stats, grad_sum, loss_sum, acc_sum, miou_sum), _ = jax.lax.scan(
+        body, init, (points, labels, lengths, idx)
+    )
+    grads = jax.tree.map(lambda g: g / k, grad_sum)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt_state=new_opt_state,
+    )
+    metrics = {"loss": loss_sum / k, "accuracy": acc_sum / k,
+               "miou": miou_sum / k}
+    return new_state, metrics
+
+
 def _eval_outputs(logits, labels, lengths) -> dict:
     loss = masked_onehot_cross_entropy(logits, labels, lengths)
     correct, total = M.update_accuracy(logits, labels, lengths)
