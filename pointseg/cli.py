@@ -140,17 +140,24 @@ def cmd_train(args) -> int:
         # (pointseg/data/device.py); eval keeps the host loader — it
         # needs whole blocks, not samples.
         from pointseg.data.datasets import BlockDataset
-        from pointseg.data.device import DeviceBlockStore, DeviceEpochLoader
+        from pointseg.data.device import device_store_or_host_loader
 
         all_train_areas = {1, 2, 3, 4, 5, 6} - set(args.test_areas)
         raw_ds = BlockDataset(args.data_dir, all_train_areas, sampling=None,
                               seed=args.seed)
-        store = DeviceBlockStore.from_block_dataset(
-            raw_ds, num_workers=max(args.num_workers, 4))
-        print(f"Device-resident train split: {store.num_blocks} blocks, "
-              f"{store.nbytes / 1e6:.1f} MB on HBM.")
-        train_loader = DeviceEpochLoader(
-            store, args.train_batch_size, args.train_sampling, seed=args.seed)
+        # policy chain: flat f32 store -> 16 B/point compact store ->
+        # chunked host prefetcher, by HBM budget (device.py docstring)
+        train_loader, data_mode = device_store_or_host_loader(
+            raw_ds, args.train_batch_size, args.train_sampling,
+            seed=args.seed, num_workers=max(args.num_workers, 4))
+        if data_mode in ("device", "compact"):
+            store = train_loader.store
+            print(f"Device-resident train split ({data_mode}): "
+                  f"{store.num_blocks} blocks, "
+                  f"{store.nbytes / 1e6:.1f} MB on HBM.")
+        else:
+            print("Train split exceeds the HBM budget; using the "
+                  "chunked host prefetcher.")
     all_areas = {1, 2, 3, 4, 5, 6}
     print(
         f"Initialized train dataloader with areas {all_areas - set(args.test_areas)}, "

@@ -12,8 +12,17 @@ state training does zero per-step host I/O.
 
 Layout: blocks are stored flat — `points (T, 9)` / `labels (T,)` with
 per-block `offsets (M,)` / `counts (M,)` — no padding waste, so HBM cost
-is exactly the dataset size (S3DIS total ≈ 273M points ≈ 10 GB f32;
-any area subset fits a 16 GB chip comfortably).
+is exactly the dataset size (S3DIS total ≈ 273M points ≈ 10 GB f32).
+
+NOTE on capacity: a full v5e chip has 16 GB of HBM, but the usable
+grant can be smaller — the round-3 relay grant measured ~7.9 GB by
+allocation probe (PIPELINE_BENCH_r03.json), where the 10 GB f32 table
+does NOT fit. `CompactDeviceStore` packs the canonical S3DIS block
+format into 16 bytes/point (xyz f32 bits + rgb/label bytes in one u32
+word, per-block centers separate) — 4.4 GB for all of S3DIS — and
+reconstructs the 9 features inside the jitted sampler, bit-identical
+to the flat store. `device_store_or_host_loader` tries flat → compact
+→ chunked host prefetcher, in that order.
 
 Sampling semantics: the reference samples `randperm(n)[:k]` when a
 block has more than k points and `randint(0, n, k)` otherwise
@@ -39,7 +48,119 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointseg.data.s3dis import NUM_S3DIS_CLASSES
+from pointseg.data.s3dis import BLOCK_SIZE, NUM_S3DIS_CLASSES
+
+
+class NotPackableError(ValueError):
+    """The block table is not exactly representable in the compact
+    16-byte/point layout (non-u8 rgb, >255 classes, or rel coords that
+    are not the IEEE f32 difference xyz - per-block-center)."""
+
+
+def pack_block_table(
+    points: np.ndarray, labels: np.ndarray, counts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Packs a canonical 9-feature block table into 16 bytes/point.
+
+    Input: `points` (T, 9) f32 rows `[xyz, rgb, xyz - center]` (the
+    block preprocessor's format, pointseg/data/blocks.py::augment_points
+    / reference preprocess_dataset.py:73-90), `labels` (T,) ints,
+    `counts` (M,) points per block. Output:
+
+    - `packed` (T, 4) u32 — the xyz f32 BIT PATTERNS (words 0-2) and
+      `(r<<24)|(g<<16)|(b<<8)|label` (word 3);
+    - `centers` (M, 3) f32 per-block centers.
+
+    The packing is verified EXACT before returning: rgb must be integer
+    0-255 (true for real S3DIS, whose colors are u8), labels must fit a
+    byte, and `xyz - center` must reproduce the stored rel coords
+    bit-for-bit (IEEE f32 subtraction is deterministic, so the device
+    recompute matches too). Raises NotPackableError otherwise — callers
+    fall back to the flat f32 store or the host loader.
+    """
+    points = np.ascontiguousarray(points, np.float32)
+    labels = np.asarray(labels)
+    counts = np.asarray(counts, np.int64)
+    if points.ndim != 2 or points.shape[1] != 9:
+        raise NotPackableError(
+            f"compact store needs (T, 9) block features, got {points.shape}")
+    if counts.sum() != points.shape[0]:
+        raise ValueError("counts do not sum to the table length")
+    if (counts <= 0).any():
+        raise ValueError("compact store requires non-empty blocks")
+    offsets = np.zeros_like(counts)
+    np.cumsum(counts[:-1], out=offsets[1:])
+
+    rgb = points[:, 3:6]
+    if rgb.size and (
+        (rgb < 0).any() or (rgb > 255).any() or (rgb != np.round(rgb)).any()
+    ):
+        raise NotPackableError("rgb features are not exact u8 values")
+    lab = labels.astype(np.int64)
+    if lab.size and (lab.min() < 0 or lab.max() > 255):
+        raise NotPackableError("labels do not fit one byte")
+
+    xyz = np.ascontiguousarray(points[:, :3])
+    rel = np.ascontiguousarray(points[:, 6:9])
+
+    # Candidate centers: (a) the preprocessor's formula recomputed from
+    # each block's own points with the identical f32 op sequence
+    # (augment_points: min + B/2 on x/y, min + (max-min)/2 on z);
+    # (b) derived from the first point (covers foreign preprocessors
+    # whose stored center the formula doesn't reproduce).
+    mins = np.minimum.reduceat(xyz, offsets, axis=0)
+    maxz = np.maximum.reduceat(xyz[:, 2], offsets)
+    half = np.float32(BLOCK_SIZE / 2)
+    formula = np.stack(
+        [mins[:, 0] + half, mins[:, 1] + half,
+         mins[:, 2] + (maxz - mins[:, 2]) / 2], axis=1)
+    first_point = xyz[offsets] - rel[offsets]
+    rel_bits = rel.view(np.uint32)
+
+    def blocks_ok(centers):
+        got = (xyz - np.repeat(centers, counts, axis=0)).view(np.uint32)
+        return np.logical_and.reduceat((got == rel_bits).all(axis=1), offsets)
+
+    ok_formula = blocks_ok(formula)
+    ok_first = blocks_ok(first_point)
+    if not (ok_formula | ok_first).all():
+        raise NotPackableError(
+            "rel features are not xyz - center for any recoverable center")
+    centers = np.where(ok_formula[:, None], formula, first_point)
+
+    packed = np.empty((points.shape[0], 4), np.uint32)
+    packed[:, :3] = xyz.view(np.uint32)
+    r, g, b = (rgb[:, i].astype(np.uint32) for i in range(3))
+    packed[:, 3] = (r << 24) | (g << 16) | (b << 8) | lab.astype(np.uint32)
+    return packed, np.ascontiguousarray(centers, np.float32)
+
+
+def _choose_rows(offsets, counts, order, step, key, batch_size, npoints):
+    """Block choice + within-block row sampling shared by both store
+    layouts. Returns (rows (B, n) flat-table indices, safe block ids,
+    valid mask, next_step, next_key)."""
+    key, sub = jax.random.split(key)
+    ids = jax.lax.dynamic_slice(order, (step * batch_size,), (batch_size,))
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+    off = jnp.take(offsets, safe, axis=0)          # (B,)
+    cnt = jnp.where(valid, jnp.take(counts, safe, axis=0), 0)
+
+    u = jax.random.uniform(sub, (batch_size, npoints))
+    local = jnp.floor(u * cnt[:, None].astype(jnp.float32)).astype(jnp.int32)
+    local = jnp.clip(local, 0, jnp.maximum(cnt[:, None] - 1, 0))
+    rows = off[:, None] + local                    # (B, npoints)
+    return rows, safe, valid, step + 1, key
+
+
+def _finish_batch(pts, lab, valid, npoints, num_classes):
+    """Fill-row masking + one-hot, shared by both layouts."""
+    onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.uint8)
+    # fill rows carry zero labels + zero features + zero length
+    onehot = jnp.where(valid[:, None, None], onehot, 0)
+    pts = jnp.where(valid[:, None, None], pts, 0.0)
+    lengths = jnp.where(valid, npoints, 0).astype(jnp.int32)
+    return pts, onehot, lengths
 
 
 @partial(jax.jit, static_argnames=("batch_size", "npoints", "num_classes"))
@@ -60,32 +181,134 @@ def _sample_batch(
     threaded between calls (see DeviceEpochLoader): a fresh host scalar
     per step would cost a relayed H2D round trip (~30 ms measured,
     PROFILE_r02.json h2d) — more than the sampling itself (~4 ms)."""
-    key, sub = jax.random.split(key)
-    ids = jax.lax.dynamic_slice(order, (step * batch_size,), (batch_size,))
-    valid = ids >= 0
-    safe = jnp.where(valid, ids, 0)
-    off = jnp.take(offsets, safe, axis=0)          # (B,)
-    cnt = jnp.where(valid, jnp.take(counts, safe, axis=0), 0)
-
-    u = jax.random.uniform(sub, (batch_size, npoints))
-    local = jnp.floor(u * cnt[:, None].astype(jnp.float32)).astype(jnp.int32)
-    local = jnp.clip(local, 0, jnp.maximum(cnt[:, None] - 1, 0))
-    rows = off[:, None] + local                    # (B, npoints)
-
+    rows, _, valid, step, key = _choose_rows(
+        offsets, counts, order, step, key, batch_size, npoints)
     pts = jnp.take(points, rows.reshape(-1), axis=0)
     pts = pts.reshape(batch_size, npoints, points.shape[-1])
     lab = jnp.take(labels, rows.reshape(-1), axis=0)
     lab = lab.reshape(batch_size, npoints)
-    onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.uint8)
-    # fill rows carry zero labels + zero features + zero length
-    onehot = jnp.where(valid[:, None, None], onehot, 0)
-    pts = jnp.where(valid[:, None, None], pts, 0.0)
-    lengths = jnp.where(valid, npoints, 0).astype(jnp.int32)
-    return pts, onehot, lengths, step + 1, key
+    pts, onehot, lengths = _finish_batch(pts, lab, valid, npoints, num_classes)
+    return pts, onehot, lengths, step, key
 
 
-class DeviceBlockStore:
-    """The whole block split, resident in HBM, with jitted sampling."""
+@partial(jax.jit, static_argnames=("batch_size", "npoints", "num_classes"))
+def _sample_batch_packed(
+    packed: jax.Array,    # (T, 4) u32 — see pack_blocks
+    centers: jax.Array,   # (M, 3) f32 per-block centers
+    offsets: jax.Array,
+    counts: jax.Array,
+    order: jax.Array,
+    step: jax.Array,
+    key: jax.Array,
+    *,
+    batch_size: int,
+    npoints: int,
+    num_classes: int,
+):
+    """Sampled batch from the 16-byte/point packed table.
+
+    One 16-byte-row gather fetches everything (vs 36 B + 1 B rows for
+    the flat layout — and tiny-row gathers are per-row-overhead-bound
+    on this chip, CLAUDE.md round-2 findings, so FEWER gathers matter
+    more than fewer bytes). Reconstruction is exact: xyz come back via
+    integer bitcast (integers survive the gather path bit-for-bit —
+    unlike bf16 lanes, which FTZ subnormals, AB_PACKEDGATHER_r02), rgb
+    are exact u8→f32 conversions, and xyz−center recomputes the
+    identical IEEE f32 subtraction the host preprocessor ran."""
+    rows, safe, valid, step, key = _choose_rows(
+        offsets, counts, order, step, key, batch_size, npoints)
+    w = jnp.take(packed, rows.reshape(-1), axis=0)
+    w = w.reshape(batch_size, npoints, 4)
+    xyz = jax.lax.bitcast_convert_type(w[..., :3], jnp.float32)
+    w3 = w[..., 3]
+    rgb = jnp.stack(
+        [(w3 >> 24) & 0xFF, (w3 >> 16) & 0xFF, (w3 >> 8) & 0xFF], axis=-1
+    ).astype(jnp.float32)
+    lab = (w3 & 0xFF).astype(jnp.uint8)
+    ctr = jnp.take(centers, safe, axis=0)          # (B, 3)
+    rel = xyz - ctr[:, None, :]
+    pts = jnp.concatenate([xyz, rgb, rel], axis=-1)
+    pts, onehot, lengths = _finish_batch(pts, lab, valid, npoints, num_classes)
+    return pts, onehot, lengths, step, key
+
+
+def _load_raw_blocks(dataset, num_workers: int):
+    """Bulk-loads a `BlockDataset` (raw, unsampled blocks) once via a
+    thread pool; returns the concatenated (points, labels, counts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if getattr(dataset, "sampling", None) is not None:
+        raise ValueError(
+            "device stores want raw blocks; construct the "
+            "BlockDataset with sampling=None (sampling runs on device)"
+        )
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        blocks = list(pool.map(dataset.__getitem__, range(len(dataset))))
+    pts = np.concatenate([p for p, _ in blocks], axis=0)
+    labs = np.concatenate([
+        # host blocks carry one-hot labels only in collate; dataset
+        # items are (points, class-id labels) or (points, onehot)
+        l.argmax(-1) if l.ndim == 2 else l for _, l in blocks
+    ]).astype(np.uint8)
+    counts = [p.shape[0] for p, _ in blocks]
+    return pts, labs, counts
+
+
+class _DeviceStoreBase:
+    """Shared store machinery: subclasses set `_tables` (the positional
+    prefix of their jitted `_sampler` / unjitted `_raw_sampler`),
+    `counts`, and `num_classes`."""
+
+    _sampler: staticmethod
+    _raw_sampler: staticmethod
+
+    @property
+    def tables(self) -> tuple:
+        return self._tables
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.counts.shape[0])
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(x.size) * x.dtype.itemsize for x in self._tables)
+
+    def sample(self, order, step, key, batch_size: int, npoints: int):
+        """One batch — entirely on device. Returns
+        (points, onehot, lengths, next_step, next_key); thread the last
+        two back into the next call (they live on device — converting
+        them to/from host scalars costs a relay round trip per step)."""
+        return type(self)._sampler(
+            *self._tables, order, step, key,
+            batch_size=batch_size, npoints=npoints,
+            num_classes=self.num_classes,
+        )
+
+    def epoch_order(self, key, batch_size: int) -> jax.Array:
+        """Random block permutation for one epoch, padded with -1 fill
+        ids to a multiple of batch_size (device-side shuffle — the
+        analogue of the reference DataLoader's shuffle=True)."""
+        m = self.num_blocks
+        perm = jax.random.permutation(key, m)
+        pad = (-m) % batch_size
+        if pad:
+            perm = jnp.concatenate([perm, jnp.full((pad,), -1, perm.dtype)])
+        return perm.astype(jnp.int32)
+
+    @classmethod
+    def from_block_dataset(cls, dataset, num_classes: int = NUM_S3DIS_CLASSES,
+                           num_workers: int = 8, sharding=None):
+        pts, labs, counts = _load_raw_blocks(dataset, num_workers)
+        return cls(pts, labs, counts, num_classes, sharding=sharding)
+
+
+class DeviceBlockStore(_DeviceStoreBase):
+    """The whole block split, resident in HBM as flat f32, with jitted
+    sampling (36 B + 1 B per point)."""
+
+    _sampler = staticmethod(_sample_batch)
+    _raw_sampler = staticmethod(_sample_batch.__wrapped__)
 
     def __init__(
         self,
@@ -112,61 +335,41 @@ class DeviceBlockStore:
         self.offsets = put(jnp.asarray(offsets))
         self.counts = put(jnp.asarray(counts))
         self.num_classes = num_classes
+        self._tables = (self.points, self.labels, self.offsets, self.counts)
 
-    @classmethod
-    def from_block_dataset(cls, dataset, num_classes: int = NUM_S3DIS_CLASSES,
-                           num_workers: int = 8, sharding=None):
-        """Bulk-loads a `BlockDataset` (raw, unsampled blocks) once via a
-        thread pool and uploads the concatenation."""
-        from concurrent.futures import ThreadPoolExecutor
 
-        if getattr(dataset, "sampling", None) is not None:
-            raise ValueError(
-                "DeviceBlockStore wants raw blocks; construct the "
-                "BlockDataset with sampling=None (sampling runs on device)"
-            )
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            blocks = list(pool.map(dataset.__getitem__, range(len(dataset))))
-        pts = np.concatenate([p for p, _ in blocks], axis=0)
-        labs = np.concatenate([
-            # host blocks carry one-hot labels only in collate; dataset
-            # items are (points, class-id labels) or (points, onehot)
-            l.argmax(-1) if l.ndim == 2 else l for _, l in blocks
-        ]).astype(np.uint8)
-        counts = [p.shape[0] for p, _ in blocks]
-        return cls(pts, labs, counts, num_classes, sharding=sharding)
+class CompactDeviceStore(_DeviceStoreBase):
+    """The whole block split at 16 bytes/point — full S3DIS (~273M
+    points) costs 4.4 GB instead of 10 GB f32, fitting HBM grants where
+    the flat store cannot (the round-3 relay grant measured ~7.9 GB).
+    Sampling output is BIT-IDENTICAL to `DeviceBlockStore` (verified at
+    pack time, see `pack_block_table`); only the canonical S3DIS block
+    format packs — `NotPackableError` otherwise."""
 
-    @property
-    def num_blocks(self) -> int:
-        return int(self.counts.shape[0])
+    _sampler = staticmethod(_sample_batch_packed)
+    _raw_sampler = staticmethod(_sample_batch_packed.__wrapped__)
 
-    @property
-    def nbytes(self) -> int:
-        return sum(int(x.size) * x.dtype.itemsize
-                   for x in (self.points, self.labels, self.offsets, self.counts))
-
-    def sample(self, order, step, key, batch_size: int, npoints: int):
-        """One batch — entirely on device. Returns
-        (points, onehot, lengths, next_step, next_key); thread the last
-        two back into the next call (they live on device — converting
-        them to/from host scalars costs a relay round trip per step)."""
-        return _sample_batch(
-            self.points, self.labels, self.offsets, self.counts,
-            order, step, key,
-            batch_size=batch_size, npoints=npoints,
-            num_classes=self.num_classes,
-        )
-
-    def epoch_order(self, key, batch_size: int) -> jax.Array:
-        """Random block permutation for one epoch, padded with -1 fill
-        ids to a multiple of batch_size (device-side shuffle — the
-        analogue of the reference DataLoader's shuffle=True)."""
-        m = self.num_blocks
-        perm = jax.random.permutation(key, m)
-        pad = (-m) % batch_size
-        if pad:
-            perm = jnp.concatenate([perm, jnp.full((pad,), -1, perm.dtype)])
-        return perm.astype(jnp.int32)
+    def __init__(
+        self,
+        points: np.ndarray,
+        labels: np.ndarray,
+        counts: np.ndarray | Sequence[int],
+        num_classes: int = NUM_S3DIS_CLASSES,
+        sharding=None,
+    ):
+        counts = np.asarray(counts, np.int32)
+        packed, centers = pack_block_table(points, labels, counts)
+        offsets = np.zeros_like(counts)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+            else jax.device_put
+        self.packed = put(jnp.asarray(packed))
+        # centers/offsets/counts are per-BLOCK (tiny) — always replicated
+        self.centers = jax.device_put(jnp.asarray(centers))
+        self.offsets = jax.device_put(jnp.asarray(offsets))
+        self.counts = jax.device_put(jnp.asarray(counts))
+        self.num_classes = num_classes
+        self._tables = (self.packed, self.centers, self.offsets, self.counts)
 
 
 def upload_flat(
@@ -224,34 +427,52 @@ def device_store_or_host_loader(
     chunk: int = 8,
     num_workers: int = 8,
 ):
-    """The training-input policy: device store when it fits, chunked
-    host prefetcher when it doesn't (VERDICT round-2 item 4).
+    """The training-input policy: flat device store when it fits, the
+    16-byte/point compact store when only that fits (full S3DIS is
+    10 GB flat vs 4.4 GB packed — the difference between fitting and
+    not fitting the measured ~7.9 GB relay HBM grant), chunked host
+    prefetcher when neither does (VERDICT round-2 item 4).
 
     The store must leave room for the model's step temporaries
     (DGCNN's measured worst case is ~4.8 GB at B=8/N=4096/k=20 —
     `model_workspace_bytes` defaults above it), so the budget is
-    hbm_limit − workspace. When `store_bytes_estimate` is given
-    (callers that know their dataset size can skip a doomed upload),
-    an over-budget store goes straight to the host path; otherwise the
-    store is attempted and an allocation failure falls back.
+    hbm_limit − workspace. When `store_bytes_estimate` is given (the
+    FLAT store's bytes; callers that know their dataset size can skip
+    a doomed upload), an over-budget layout is skipped without an
+    upload attempt; otherwise each store is attempted and an
+    allocation failure (or a NotPackableError for the compact layout)
+    falls through to the next stage.
 
-    Returns (loader, mode) with mode in {"device", "host"}.
+    Returns (loader, mode) with mode in {"device", "compact", "host"}.
     """
     from pointseg.runtime import is_oom_error
 
     limit = hbm_limit if hbm_limit is not None else hbm_bytes_limit()
-    doomed = (
-        store_bytes_estimate is not None and limit is not None
-        and store_bytes_estimate + model_workspace_bytes > limit
-    )
-    if not doomed:
+
+    def fits(est):
+        return not (est is not None and limit is not None
+                    and est + model_workspace_bytes > limit)
+
+    # flat layout: 36 B points + 1 B label; compact: 16 B packed
+    compact_estimate = None if store_bytes_estimate is None else \
+        (store_bytes_estimate * 16) // 37
+    raw = None
+    for cls, est, mode in (
+        (DeviceBlockStore, store_bytes_estimate, "device"),
+        (CompactDeviceStore, compact_estimate, "compact"),
+    ):
+        if not fits(est):
+            continue
         try:
-            store = DeviceBlockStore.from_block_dataset(
-                dataset, num_classes=num_classes, num_workers=num_workers)
+            if raw is None:
+                raw = _load_raw_blocks(dataset, num_workers)
+            store = cls(*raw, num_classes=num_classes)
             return (
                 DeviceEpochLoader(store, batch_size, npoints, seed=seed),
-                "device",
+                mode,
             )
+        except NotPackableError:
+            pass
         except Exception as e:  # noqa: BLE001 — only OOM falls back
             if not is_oom_error(e):
                 raise
@@ -369,14 +590,16 @@ class ChunkedDevicePrefetcher:
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "npoints", "num_classes", "n_steps"),
-    donate_argnums=(4,),
+    static_argnames=("sampler", "batch_size", "npoints", "num_classes",
+                     "n_steps"),
+    donate_argnums=(1,),
 )
 def _sample_train_scan(
-    points, labels, offsets, counts,      # store tables (NOT donated)
+    tables,                               # store tables (NOT donated)
     state,                                # TrainState (donated)
     order, step, key, rng,
     *,
+    sampler,
     batch_size: int,
     npoints: int,
     num_classes: int,
@@ -384,11 +607,11 @@ def _sample_train_scan(
 ):
     """`n_steps` of (sample batch -> train step) fused into ONE program.
 
-    The sampler body is `_sample_batch` and the step body is
-    `train_step` — the same computations the sequential
-    DeviceEpochLoader + train_epoch path runs, threaded through a
-    `lax.scan` carry instead of 2 host dispatches per step. On a
-    dispatch-bound host (relay latency, or a single-core CPU driving
+    The sampler body is the store's `_raw_sampler` (flat or packed
+    layout) and the step body is `train_step` — the same computations
+    the sequential DeviceEpochLoader + train_epoch path runs, threaded
+    through a `lax.scan` carry instead of 2 host dispatches per step. On
+    a dispatch-bound host (relay latency, or a single-core CPU driving
     the device) this is the difference between host-limited and
     device-limited training throughput.
     """
@@ -396,8 +619,8 @@ def _sample_train_scan(
 
     def body(carry, _):
         st, stp, k = carry
-        pts, onehot, lengths, stp, k = _sample_batch.__wrapped__(
-            points, labels, offsets, counts, order, stp, k,
+        pts, onehot, lengths, stp, k = sampler(
+            *tables, order, stp, k,
             batch_size=batch_size, npoints=npoints, num_classes=num_classes,
         )
         st, m = train_step.__wrapped__(st, pts, onehot, lengths, rng)
@@ -462,8 +685,8 @@ class DeviceEpochLoader:
         while done < total:
             k = min(scan_steps, total - done)
             state, step, key, ms = _sample_train_scan(
-                s.points, s.labels, s.offsets, s.counts,
-                state, order, step, key, rng,
+                s.tables, state, order, step, key, rng,
+                sampler=type(s)._raw_sampler,
                 batch_size=self.batch_size, npoints=self.npoints,
                 num_classes=s.num_classes, n_steps=k,
             )

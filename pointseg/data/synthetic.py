@@ -24,14 +24,20 @@ def make_room(
     size_xy: float = 3.0,
     height: float = 2.5,
     num_classes: int = 14,
+    rgb_u8: bool = False,
 ) -> dict:
     """One fake room: xyz uniform in a box, rgb in [0, 255], labels a
     deterministic function of height (ceiling / floor / two wall bands)
-    so models can verifiably learn the task in a few steps."""
+    so models can verifiably learn the task in a few steps.
+
+    `rgb_u8` draws integer colors like real S3DIS (whose rgb are u8) —
+    required by fixtures exercising the compact 16-byte/point device
+    store, which only packs exact-u8 colors."""
     xyz = rng.uniform(0, 1, size=(num_points, 3)).astype(np.float32)
     xyz[:, :2] *= size_xy
     xyz[:, 2] *= height
-    rgb = rng.uniform(0, 255, size=(num_points, 3)).astype(np.float32)
+    rgb = (rng.integers(0, 256, size=(num_points, 3)) if rgb_u8
+           else rng.uniform(0, 255, size=(num_points, 3))).astype(np.float32)
     z = xyz[:, 2] / height
     labels = np.select(
         [z > 0.9, z < 0.1, z < 0.5],
@@ -68,6 +74,7 @@ def make_chunked_dataset(
     points_per_room: int = 2000,
     seed: int = 0,
     with_index: bool = True,
+    rgb_u8: bool = False,
 ) -> str:
     """Writes synthetic chunk archives `s3dis{a}_chunk{c}.npz`."""
     rng = np.random.default_rng(seed)
@@ -75,7 +82,8 @@ def make_chunked_dataset(
     for a in areas:
         per = max(1, rooms_per_area // chunks_per_area)
         for c in range(1, chunks_per_area + 1):
-            rooms = [make_room(rng, points_per_room) for _ in range(per)]
+            rooms = [make_room(rng, points_per_room, rgb_u8=rgb_u8)
+                     for _ in range(per)]
             save_room_archive(
                 os.path.join(out_dir, f"s3dis{a}_chunk{c}.npz"),
                 rooms,
@@ -92,6 +100,7 @@ def make_block_dataset(
     rooms_per_area: int = 2,
     points_per_room: int = 2000,
     seed: int = 0,
+    rgb_u8: bool = False,
 ) -> str:
     """Synthetic chunk archives run through the real block preprocessor."""
     chunk_dir = os.path.join(out_dir, "_chunked")
@@ -102,6 +111,7 @@ def make_block_dataset(
         points_per_room=points_per_room,
         seed=seed,
         with_index=False,
+        rgb_u8=rgb_u8,
     )
     preprocess_dataset(chunk_dir, out_dir, verbose=False)
     return out_dir

@@ -86,6 +86,22 @@ def test_train_and_evaluate_roundtrip(tmp_path):
     assert 0 <= r["accuracy"] <= 1 and "ious" in r
 
 
+def test_train_device_data_policy(tmp_path):
+    """--device-data routes through the flat->compact->host policy
+    (device.py::device_store_or_host_loader) and trains end-to-end."""
+    data = str(tmp_path / "blocks")
+    out = _run([
+        "train.py", "PointNet", "--synthetic", "--data-dir", data,
+        "--device-data", "--epochs", "1", "--train-batch-size", "2",
+        "--train-sampling", "128", "--test-pad-to", "4096",
+        "--log-dir", str(tmp_path / "runs"),
+        "--model-dir", str(tmp_path / "ckpts"),
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Device-resident train split (device)" in out.stdout
+    assert "Epoch 1 completed" in out.stdout
+
+
 def test_prepare_pipeline(tmp_path):
     """prepare --stage all over a synthetic raw annotation tree."""
     raw = tmp_path / "raw" / "Area_1" / "office_1" / "Annotations"

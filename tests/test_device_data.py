@@ -233,6 +233,144 @@ def test_device_store_sharded_sampling_matches_unsharded():
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def _canonical_blocks(num_blocks=6, seed=3, lo=80, hi=300):
+    """Blocks in the exact preprocessor output format (augment_points):
+    [xyz, u8 rgb, xyz - center] — the compact store's packing domain."""
+    from pointseg.data.blocks import augment_points
+
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(lo, hi, size=num_blocks)
+    pts, labs = [], []
+    for n in counts:
+        raw = np.empty((n, 6), np.float32)
+        raw[:, :3] = rng.uniform(0, 30, size=(n, 3))
+        raw[:, 3:] = rng.integers(0, 256, size=(n, 3))
+        pts.append(augment_points(raw))
+        labs.append(rng.integers(0, 14, size=n).astype(np.uint8))
+    return np.concatenate(pts), np.concatenate(labs), counts
+
+
+def test_compact_store_bit_identical_to_flat():
+    """CompactDeviceStore (16 B/point) must reproduce DeviceBlockStore's
+    sampled batches BIT-for-bit: same key stream -> same rows, xyz via
+    integer bitcast, exact u8 rgb, and the identical IEEE f32
+    xyz - center subtraction the host preprocessor ran."""
+    from pointseg.data.device import CompactDeviceStore
+
+    pts, labs, counts = _canonical_blocks()
+    flat = DeviceBlockStore(pts, labs, counts, num_classes=14)
+    compact = CompactDeviceStore(pts, labs, counts, num_classes=14)
+    assert compact.nbytes < flat.nbytes / 2
+
+    order = flat.epoch_order(jax.random.key(11), batch_size=4)
+    step, key = jnp.zeros((), jnp.int32), jax.random.key(7)
+    cstep, ckey = step, key
+    for _ in range(2):
+        fp, fo, fl, step, key = flat.sample(order, step, key, 4, 64)
+        cp, co, cl, cstep, ckey = compact.sample(order, cstep, ckey, 4, 64)
+        np.testing.assert_array_equal(
+            np.asarray(fp).view(np.uint32), np.asarray(cp).view(np.uint32))
+        np.testing.assert_array_equal(np.asarray(fo), np.asarray(co))
+        np.testing.assert_array_equal(np.asarray(fl), np.asarray(cl))
+
+
+def test_pack_rejects_non_canonical():
+    from pointseg.data.device import NotPackableError, pack_block_table
+
+    pts, labs, counts = _canonical_blocks(num_blocks=3)
+    bad_rgb = pts.copy()
+    bad_rgb[:, 4] += 0.25
+    with pytest.raises(NotPackableError):
+        pack_block_table(bad_rgb, labs, counts)
+    bad_rel = pts.copy()
+    bad_rel[:, 6] *= 1.0001
+    with pytest.raises(NotPackableError):
+        pack_block_table(bad_rel, labs, counts)
+
+
+def test_pack_first_point_center_fallback():
+    """Foreign preprocessors whose center the augment formula doesn't
+    reproduce still pack when rel = xyz - c holds for SOME constant c."""
+    from pointseg.data.device import pack_block_table
+
+    rng = np.random.default_rng(5)
+    counts = np.array([50, 70])
+    pts = []
+    for n in counts:
+        p = np.empty((n, 9), np.float32)
+        p[:, :3] = rng.uniform(0, 10, size=(n, 3))
+        p[:, 3:6] = rng.integers(0, 256, size=(n, 3))
+        # half-integer centers: x - c is exact in f32 at these scales,
+        # so the first-point derivation x0 - (x0 - c) recovers c exactly
+        c = (rng.integers(0, 20, size=3) / 2).astype(np.float32)
+        p[:, 6:9] = p[:, :3] - c
+        pts.append(p)
+    pts = np.concatenate(pts)
+    labs = rng.integers(0, 14, size=pts.shape[0]).astype(np.uint8)
+    packed, centers = pack_block_table(pts, labs, counts)
+    assert packed.shape == (pts.shape[0], 4) and centers.shape == (2, 3)
+
+
+def test_policy_falls_back_to_compact_store(tmp_path):
+    """When the flat store busts the HBM budget but the packed one
+    fits, the policy must land on mode='compact' — the full-S3DIS case
+    on the measured ~7.9 GB relay grant."""
+    from pointseg.data.device import device_store_or_host_loader
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=2,
+                           points_per_room=3000, seed=1, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+    total = sum(ds[i][0].shape[0] for i in range(len(ds)))
+    flat_bytes = total * 37
+    loader, mode = device_store_or_host_loader(
+        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+        hbm_limit=flat_bytes, model_workspace_bytes=flat_bytes // 2,
+        store_bytes_estimate=flat_bytes)
+    assert mode == "compact"
+    pts, onehot, lengths = next(iter(loader))
+    assert tuple(pts.shape) == (2, 128, 9)
+    # non-u8 rgb data must skip compact and land on host at that budget
+    d2 = make_block_dataset(str(tmp_path / "c"), areas=(1,), rooms_per_area=2,
+                            points_per_room=3000, seed=1)
+    ds2 = BlockDataset(d2, {1}, sampling=None)
+    _, mode = device_store_or_host_loader(
+        ds2, batch_size=2, npoints=128, num_classes=14, seed=0,
+        hbm_limit=flat_bytes, model_workspace_bytes=flat_bytes // 2,
+        store_bytes_estimate=flat_bytes)
+    assert mode == "host"
+
+
+def test_compact_store_scan_epoch_matches_sequential():
+    """The fused (sample -> train step) scan runs over the packed
+    layout too, matching the sequential loop exactly."""
+    from pointseg.data.device import CompactDeviceStore
+    from pointseg.models import PointNetSeg
+    from pointseg.train.state import create_train_state, train_step
+
+    pts, labs, counts = _canonical_blocks(num_blocks=5, seed=8)
+    store = CompactDeviceStore(pts, labs, counts, num_classes=14)
+    model = PointNetSeg(num_classes=14)
+    rng = jax.random.key(0)
+
+    seq_loader = DeviceEpochLoader(store, batch_size=2, npoints=64, seed=9)
+    p0, _, _ = next(iter(seq_loader))
+    state = create_train_state(model, p0, 1e-3)
+    seq = create_train_state(model, p0, 1e-3)
+    seq_losses = []
+    for batch in DeviceEpochLoader(store, batch_size=2, npoints=64, seed=9):
+        seq, m = train_step(seq, *batch, rng)
+        seq_losses.append(float(m["loss"]))
+
+    fused_loader = DeviceEpochLoader(store, batch_size=2, npoints=64, seed=9)
+    state, ms = fused_loader.scan_epoch(state, rng, scan_steps=2)
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"]), np.asarray(seq_losses), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        seq.params, state.params)
+
+
 def test_upload_flat_chunked_matches_device_put():
     from pointseg.data.device import upload_flat
 

@@ -248,7 +248,41 @@ def _run_checks():
                 G.set_gather_forward(None)
             np.testing.assert_array_equal(got, want)
 
+    def check_compact_store():
+        """Round-3 16 B/point compact device store (data/device.py::
+        CompactDeviceStore): sampled batches must be BIT-identical to
+        the flat f32 store on chip — xyz via u32 bitcast (integer
+        gathers are exempt from the bf16 FTZ trap), exact u8 rgb, and
+        the on-device IEEE f32 xyz - center subtraction matching the
+        host preprocessor's."""
+        from pointseg.data.blocks import augment_points
+        from pointseg.data.device import CompactDeviceStore, DeviceBlockStore
+
+        counts = rng.integers(200, 600, size=16)
+        pts, labs = [], []
+        for n in counts:
+            raw = np.empty((n, 6), np.float32)
+            raw[:, :3] = rng.uniform(0, 30, size=(n, 3))
+            raw[:, 3:] = rng.integers(0, 256, size=(n, 3))
+            pts.append(augment_points(raw))
+            labs.append(rng.integers(0, 14, size=n).astype(np.uint8))
+        pts, labs = np.concatenate(pts), np.concatenate(labs)
+        flat = DeviceBlockStore(pts, labs, counts, num_classes=14)
+        compact = CompactDeviceStore(pts, labs, counts, num_classes=14)
+        order = flat.epoch_order(jax.random.key(2), batch_size=8)
+        step, key = jnp.zeros((), jnp.int32), jax.random.key(4)
+        cstep, ckey = step, key
+        for _ in range(2):
+            fp, fo, fl, step, key = flat.sample(order, step, key, 8, 256)
+            cp, co, cl, cstep, ckey = compact.sample(order, cstep, ckey, 8, 256)
+            np.testing.assert_array_equal(
+                np.asarray(fp).view(np.uint32),
+                np.asarray(cp).view(np.uint32))
+            np.testing.assert_array_equal(np.asarray(fo), np.asarray(co))
+            np.testing.assert_array_equal(np.asarray(fl), np.asarray(cl))
+
     record("fps_compiled_vs_oracle", check_fps)
+    record("compact_store_bitwise_vs_flat", check_compact_store)
     record("gather_forward_onehot_bitwise", check_gather_forward)
     record("ballquery_compiled_vs_oracle", check_ballquery)
     record("knn_compiled_vs_oracle", check_knn)
