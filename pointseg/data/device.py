@@ -15,14 +15,16 @@ per-block `offsets (M,)` / `counts (M,)` — no padding waste, so HBM cost
 is exactly the dataset size (S3DIS total ≈ 273M points ≈ 10 GB f32).
 
 NOTE on capacity: a full v5e chip has 16 GB of HBM, but the usable
-grant can be smaller — the round-3 relay grant measured ~7.9 GB by
-allocation probe (PIPELINE_BENCH_r03.json), where the 10 GB f32 table
-does NOT fit. `CompactDeviceStore` packs the canonical S3DIS block
-format into 16 bytes/point (xyz f32 bits + rgb/label bytes in one u32
-word, per-block centers separate) — 4.4 GB for all of S3DIS — and
+relay grant VARIES BY SESSION — allocation probes measured ~7.9 GB in
+one round-3 session and 15.5 GB in another (PIPELINE_BENCH_r03.json).
+At the small grant the 10 GB f32 table does NOT fit.
+`CompactDeviceStore` packs the canonical S3DIS block format into
+16 bytes/point (xyz f32 bits + rgb/label bytes in one u32 word,
+per-block centers separate) — 4.4 GB for all of S3DIS — and
 reconstructs the 9 features inside the jitted sampler, bit-identical
 to the flat store. `device_store_or_host_loader` tries flat → compact
-→ chunked host prefetcher, in that order.
+→ chunked host prefetcher, in that order, so training input adapts to
+whatever grant the session actually has.
 
 Sampling semantics: the reference samples `randperm(n)[:k]` when a
 block has more than k points and `randint(0, n, k)` otherwise
@@ -122,11 +124,14 @@ def pack_block_table(
         return np.logical_and.reduceat((got == rel_bits).all(axis=1), offsets)
 
     ok_formula = blocks_ok(formula)
-    ok_first = blocks_ok(first_point)
-    if not (ok_formula | ok_first).all():
-        raise NotPackableError(
-            "rel features are not xyz - center for any recoverable center")
-    centers = np.where(ok_formula[:, None], formula, first_point)
+    if ok_formula.all():
+        centers = formula
+    else:
+        ok_first = blocks_ok(first_point)
+        if not (ok_formula | ok_first).all():
+            raise NotPackableError(
+                "rel features are not xyz - center for any recoverable center")
+        centers = np.where(ok_formula[:, None], formula, first_point)
 
     packed = np.empty((points.shape[0], 4), np.uint32)
     packed[:, :3] = xyz.view(np.uint32)
@@ -359,11 +364,28 @@ class CompactDeviceStore(_DeviceStoreBase):
     ):
         counts = np.asarray(counts, np.int32)
         packed, centers = pack_block_table(points, labels, counts)
+        self._init_from_packed(packed, centers, counts, num_classes, sharding)
+
+    @classmethod
+    def from_packed(cls, packed, centers, counts,
+                    num_classes: int = NUM_S3DIS_CLASSES, sharding=None):
+        """Wraps an ALREADY-packed table (host or device arrays) without
+        re-verifying — for callers that packed via `pack_block_table`
+        themselves, e.g. to stream the upload with `upload_flat`."""
+        self = object.__new__(cls)
+        self._init_from_packed(packed, centers,
+                               np.asarray(counts, np.int32),
+                               num_classes, sharding)
+        return self
+
+    def _init_from_packed(self, packed, centers, counts, num_classes,
+                          sharding):
         offsets = np.zeros_like(counts)
         np.cumsum(counts[:-1], out=offsets[1:])
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
-        self.packed = put(jnp.asarray(packed))
+        self.packed = put(packed if isinstance(packed, jax.Array)
+                          else jnp.asarray(packed))
         # centers/offsets/counts are per-BLOCK (tiny) — always replicated
         self.centers = jax.device_put(jnp.asarray(centers))
         self.offsets = jax.device_put(jnp.asarray(offsets))

@@ -371,6 +371,38 @@ def test_compact_store_scan_epoch_matches_sequential():
         seq.params, state.params)
 
 
+def test_compact_store_sharded_sampling_matches_unsharded():
+    """Row-sharding the packed table over the mesh (multi-chip placement
+    for splits bigger than one chip's grant) must not change sampling."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pointseg.data.device import CompactDeviceStore
+    from pointseg.parallel import create_mesh
+
+    pts, labs, counts = _canonical_blocks(num_blocks=8, seed=12)
+    pad = (-int(counts.sum())) % 8  # row axis divisible by mesh
+    if pad:
+        extra_pts, extra_labs, _ = _canonical_blocks(num_blocks=1, seed=13,
+                                                     lo=pad, hi=pad + 1)
+        pts = np.concatenate([pts, extra_pts])
+        labs = np.concatenate([labs, extra_labs])
+        counts = np.concatenate([counts, [pad]])
+
+    mesh = create_mesh(jax.devices()[:8])
+    plain = CompactDeviceStore(pts, labs, counts, num_classes=14)
+    sharded = CompactDeviceStore(
+        pts, labs, counts, num_classes=14,
+        sharding=NamedSharding(mesh, P("data")))
+    assert len(sharded.packed.sharding.device_set) == 8
+
+    order = plain.epoch_order(jax.random.key(3), batch_size=4)
+    for step in range(2):
+        a = plain.sample(order, step, jax.random.key(9), 4, 64)
+        b = sharded.sample(order, step, jax.random.key(9), 4, 64)
+        for x, y in zip(a[:3], b[:3]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_upload_flat_chunked_matches_device_put():
     from pointseg.data.device import upload_flat
 

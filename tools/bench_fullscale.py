@@ -2,24 +2,25 @@
 """Full-S3DIS-scale data-path validation on the real chip.
 
 VERDICT round-2 item 4: the device store was only ever validated at
-1.5 GB / 10k blocks while `data/device.py` claims full S3DIS (~10 GB
-f32, ~273M points) fits a 16 GB chip alongside a model's step
-temporaries. This measures exactly that:
+1.5 GB / 10k blocks while `data/device.py` claimed full S3DIS (~10 GB
+f32, ~273M points) fits "a 16 GB chip". The round-3 measurement that
+reshaped the claim: the relay HBM GRANT is smaller than the chip
+(allocation probe below), so the flat f32 layout does NOT fit — the
+16 B/point `CompactDeviceStore` (4.4 GB for all of S3DIS) is the
+full-scale resident path. This measures exactly that:
 
-  - synthetic flat tables at S3DIS scale (default 273M points / 100k
-    blocks, uniform room-like coordinates);
-  - chunked upload time + effective GB/s over the relay
-    (pointseg.data.device.upload_flat);
-  - HBM footprint from device memory_stats before/after;
+  - an HBM grant allocation probe (successive 512 MB buffers to OOM);
+  - synthetic CANONICAL-format tables at S3DIS scale (default 273M
+    points / 100k blocks: u8 rgb, rel = xyz - formula center — the
+    compact store's packing domain);
+  - the `device_store_or_host_loader` policy arithmetic at this grant
+    (flat doomed, compact fits);
+  - pack time, chunked upload time + effective GB/s over the relay;
   - sampled-epoch training throughput (PointNet++ bf16) through
-    DeviceEpochLoader vs the same step on prebaked batches;
+    DeviceEpochLoader on the packed layout vs the same step on a fixed
+    batch (the unpack math rides the sampler);
   - the DGCNN worst case: its ~4.8 GB of step temporaries coexisting
-    with the resident store (--dgcnn, on by default — records OOM +
-    fallback advice if it doesn't fit);
-  - the policy decision both ways via device_store_or_host_loader's
-    budget arithmetic (no 10 GB host dataset files exist here; the
-    host-fallback mechanics are covered by
-    tests/test_device_data.py::test_device_store_or_host_loader_fallback).
+    with the resident store (records OOM + fallback advice if not).
 
 Writes PIPELINE_BENCH_r03.json. Replaces the reference's full-area
 training input path (data_processing/block_datasets.py:133-183) at the
@@ -47,12 +48,87 @@ def hbm_used(dev) -> int | None:
         return None
 
 
+def probe_grant(step_mb: int = 512, cap_gb: int = 20) -> dict:
+    """Allocates successive `step_mb` device buffers until OOM; returns
+    the usable grant. Buffers are EXPLICITLY deleted before returning —
+    relying on Python GC alone leaves them resident on the relay long
+    enough to OOM the very next big allocation (measured: a 4.4 GB
+    zeros failed minutes after the probe's `del`)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg.runtime import is_oom_error
+
+    held = []
+    fill = jax.jit(lambda n: jnp.zeros((n,), jnp.uint8), static_argnums=0)
+    n = step_mb << 20
+    try:
+        while len(held) * step_mb < cap_gb << 10:
+            buf = fill(n)
+            buf.block_until_ready()
+            held.append(buf)
+    except Exception as e:  # noqa: BLE001
+        if not is_oom_error(e):
+            raise
+    usable = len(held) * step_mb << 20
+    for b in held:
+        b.delete()
+    held.clear()
+    gc.collect()
+    return {"step_mb": step_mb, "usable_bytes": usable,
+            "usable_gb": round(usable / 2**30, 2)}
+
+
+def retry_alloc(fn, tries: int = 6, wait_s: float = 10.0):
+    """Retries a device allocation while deferred relay frees land."""
+    from pointseg.runtime import is_oom_error
+
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if not is_oom_error(e) or i == tries - 1:
+                raise
+            print(f"alloc OOM (attempt {i + 1}/{tries}); waiting "
+                  f"{wait_s}s for deferred frees", flush=True)
+            time.sleep(wait_s)
+
+
+def synthesize_canonical(T: int, M: int, seed: int = 0):
+    """(T, 9) canonical block features at scale: u8-valued rgb and
+    rel = xyz - (min + B/2 formula center), all in f32 — exactly the
+    block preprocessor's output format so the table packs."""
+    rng = np.random.default_rng(seed)
+    base = T // M
+    counts = np.full(M, base, np.int32)
+    counts[: T - base * M] += 1
+    offsets = np.zeros(M, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+
+    pts = np.empty((T, 9), np.float32)
+    pts[:, :3] = rng.random((T, 3), dtype=np.float32)
+    pts[:, :3] *= np.float32([8.0, 8.0, 3.0])  # room extents
+    pts[:, 3:6] = rng.integers(0, 256, size=(T, 3), dtype=np.uint8)
+    mins = np.minimum.reduceat(pts[:, :3], offsets, axis=0)
+    maxz = np.maximum.reduceat(pts[:, 2], offsets)
+    centers = np.stack(
+        [mins[:, 0] + np.float32(0.5), mins[:, 1] + np.float32(0.5),
+         mins[:, 2] + (maxz - mins[:, 2]) / 2], axis=1)
+    pts[:, 6:9] = pts[:, :3] - np.repeat(centers, counts, axis=0)
+    labels = rng.integers(0, 14, size=T).astype(np.uint8)
+    return pts, labels, counts
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=273_000_000)
     ap.add_argument("--blocks", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--dgcnn", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--probe-grant", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--out", default="PIPELINE_BENCH_r03.json")
     args = ap.parse_args()
@@ -61,7 +137,8 @@ def main() -> int:
     import jax.numpy as jnp
 
     from pointseg.data.device import (
-        DeviceBlockStore, DeviceEpochLoader, hbm_bytes_limit, upload_flat,
+        CompactDeviceStore, DeviceEpochLoader, hbm_bytes_limit,
+        pack_block_table, upload_flat,
     )
     from pointseg.models import create_model
     from pointseg.runtime import setup_runtime, watchdog_devices
@@ -82,51 +159,61 @@ def main() -> int:
         "scale": {"points": args.points, "blocks": args.blocks},
     }
 
+    if args.probe_grant:
+        t0 = time.perf_counter()
+        results["grant_probe"] = probe_grant()
+        results["grant_probe"]["seconds"] = round(time.perf_counter() - t0, 1)
+        print(f"grant probe: {results['grant_probe']}", flush=True)
+
     def sync(x):
         jax.device_get(x.ravel()[0])
 
-    # ---- synthesize flat tables at scale (room-like uniform coords) ----
-    rng = np.random.default_rng(0)
+    # ---- synthesize canonical tables at scale ----
     T, M = args.points, args.blocks
-    base = T // M
-    counts = np.full(M, base, np.int32)
-    counts[: T - base * M] += 1
     t0 = time.perf_counter()
-    pts = rng.random((T, 9), dtype=np.float32)
-    pts[:, :3] *= [8.0, 8.0, 3.0]  # room extents
-    labels = rng.integers(0, 14, size=T).astype(np.uint8)
+    pts, labels, counts = synthesize_canonical(T, M)
     results["host_synthesis_s"] = round(time.perf_counter() - t0, 1)
-    gb = (pts.nbytes + labels.nbytes) / 1e9
-    results["store_gb"] = round(gb, 2)
-    print(f"synthesized {gb:.1f} GB in {results['host_synthesis_s']}s",
-          flush=True)
+    flat_bytes = pts.nbytes + labels.nbytes
+    results["flat_bytes"] = flat_bytes
+    print(f"synthesized {flat_bytes / 1e9:.1f} GB (flat) in "
+          f"{results['host_synthesis_s']}s", flush=True)
 
-    # ---- upload ----
+    # ---- policy arithmetic at this grant ----
+    workspace = 5 << 30  # DGCNN's measured worst case, device.py policy
+    grant = (results.get("grant_probe") or {}).get("usable_bytes") \
+        or results["hbm_bytes_limit"]
+    compact_bytes = T * 16 + M * 12
+    results["policy"] = {
+        "workspace_bytes": workspace,
+        "grant_bytes": grant,
+        "flat_fits": bool(grant and flat_bytes + workspace <= grant),
+        "compact_fits": bool(grant and compact_bytes + workspace <= grant),
+    }
+    print(f"policy at grant {grant}: {results['policy']}", flush=True)
+
+    # ---- pack + chunked upload (the compact full-scale path) ----
+    t0 = time.perf_counter()
+    packed, centers = pack_block_table(pts, labels, counts)
+    results["pack_s"] = round(time.perf_counter() - t0, 1)
+    del pts, labels  # free ~10 GB host RAM
+    gb = packed.nbytes / 1e9
     before = hbm_used(dev)
     t0 = time.perf_counter()
-    dpts = upload_flat(pts)
-    dlab = upload_flat(labels)
-    sync(dpts)
+    dpacked = retry_alloc(lambda: upload_flat(packed))
+    sync(dpacked)
     up_s = time.perf_counter() - t0
-    store = DeviceBlockStore(dpts, dlab, counts)
+    store = CompactDeviceStore.from_packed(dpacked, centers, counts)
     after = hbm_used(dev)
-    results["upload_s"] = round(up_s, 1)
-    results["upload_gbps"] = round(gb / up_s, 3)
-    results["hbm_in_use_after_upload"] = after
-    results["store_nbytes"] = store.nbytes
-    print(f"upload {up_s:.1f}s ({gb / up_s:.2f} GB/s); "
-          f"hbm {before} -> {after}", flush=True)
-    del pts, labels  # free ~10 GB host RAM
-
-    # ---- policy arithmetic both ways ----
-    limit = hbm_bytes_limit()
-    if limit:
-        results["policy"] = {
-            "store_plus_dgcnn_fits": bool(
-                store.nbytes + (5 << 30) <= limit),
-            "store_2x_would_fall_back": bool(
-                2 * store.nbytes + (5 << 30) > limit),
-        }
+    results.update({
+        "upload_s": round(up_s, 1),
+        "upload_gbps": round(gb / up_s, 3),
+        "hbm_in_use_after_upload": after,
+        "store_nbytes": store.nbytes,
+        "store_layout": "compact",
+    })
+    print(f"pack {results['pack_s']}s; upload {up_s:.1f}s "
+          f"({gb / up_s:.2f} GB/s); hbm {before} -> {after}", flush=True)
+    del packed
 
     # ---- PointNet++ bf16 training through the device loader ----
     B, N = 8, 4096
