@@ -84,6 +84,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", default=None, help="Checkpoint dir or file to resume from.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="Compute in bfloat16.")
+    p.add_argument("--static-graph", action="store_true",
+                   help="DGCNN models: compute the kNN graph once on "
+                        "xyz and reuse it in every EdgeConv (~20% "
+                        "faster step; deviates from the reference's "
+                        "per-layer feature-space graphs).")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard the batch over all devices (SPMD DP).")
     p.add_argument("--profile", default=None,
@@ -119,7 +124,13 @@ def cmd_train(args) -> int:
     logger = MetricsLogger(log_path)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = create_model(args.model, num_classes=NUM_S3DIS_CLASSES, dtype=dtype)
+    model_kwargs = {}
+    if getattr(args, "static_graph", False):
+        if args.model not in ("DGCNN", "DeepGraphCnn"):
+            raise SystemExit("--static-graph only applies to DGCNN models")
+        model_kwargs["static_graph"] = True
+    model = create_model(args.model, num_classes=NUM_S3DIS_CLASSES,
+                         dtype=dtype, **model_kwargs)
     print(f"Starting training of model {args.model}.")
 
     train_loader, test_loader = create_block_dataloaders(

@@ -28,13 +28,23 @@ from pointseg.nn import EdgeConv, SharedMLP, leaky_relu_02
 
 
 class DGCNN(nn.Module):
-    """Geometry-only DGCNN (reference dgcnn.py:80-162)."""
+    """Geometry-only DGCNN (reference dgcnn.py:80-162).
+
+    `static_graph=True` (opt-in, DEVIATION from the reference) computes
+    the kNN graph ONCE on xyz and reuses it in every EdgeConv instead
+    of re-running kNN in each layer's feature space. Layer 1 is
+    identical either way (its graph IS the xyz graph); layers 2-4 lose
+    the "dynamic" feature-space neighborhoods. kNN selection is 4 x
+    ~5 ms of the 72.7 ms bf16 step (FUSION_TABLE_r03_dgcnn.json), so
+    this trades graph dynamics for ~20% step time; parameters and
+    checkpoints are identical across modes."""
 
     num_classes: int = 14
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    static_graph: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None, return_features: bool = False):
@@ -43,10 +53,15 @@ class DGCNN(nn.Module):
         xyz = x[..., :3]
         d = self.dtype
 
-        x1 = EdgeConv(64, self.k, dtype=d, name="conv1")(xyz, train=train, mask=mask)
-        x2 = EdgeConv(64, self.k, dtype=d, name="conv2")(x1, train=train, mask=mask)
-        x3 = EdgeConv(64, self.k, dtype=d, name="conv3")(x2, train=train, mask=mask)
-        x4 = EdgeConv(128, self.k, dtype=d, name="conv4")(x3, train=train, mask=mask)
+        idx = None
+        if self.static_graph:
+            from pointseg import ops
+
+            idx = ops.knn_indices(xyz.astype(d), self.k, mask=mask)
+        x1 = EdgeConv(64, self.k, dtype=d, name="conv1")(xyz, train=train, mask=mask, idx=idx)
+        x2 = EdgeConv(64, self.k, dtype=d, name="conv2")(x1, train=train, mask=mask, idx=idx)
+        x3 = EdgeConv(64, self.k, dtype=d, name="conv3")(x2, train=train, mask=mask, idx=idx)
+        x4 = EdgeConv(128, self.k, dtype=d, name="conv4")(x3, train=train, mask=mask, idx=idx)
 
         x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B, N, 320)
         x5 = SharedMLP(
@@ -70,13 +85,15 @@ class DGCNN(nn.Module):
 
 
 class DGCNNWithColor(nn.Module):
-    """DGCNN + parallel RGB branch (reference dgcnn.py:165-257)."""
+    """DGCNN + parallel RGB branch (reference dgcnn.py:165-257).
+    `static_graph` as in DGCNN."""
 
     num_classes: int = 14
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    static_graph: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None, return_features: bool = False):
@@ -88,10 +105,15 @@ class DGCNNWithColor(nn.Module):
         rgb = x[..., 3:6]
         d = self.dtype
 
-        x1 = EdgeConv(64, self.k, dtype=d, name="conv1")(xyz, train=train, mask=mask)
-        x2 = EdgeConv(64, self.k, dtype=d, name="conv2")(x1, train=train, mask=mask)
-        x3 = EdgeConv(64, self.k, dtype=d, name="conv3")(x2, train=train, mask=mask)
-        x4 = EdgeConv(128, self.k, dtype=d, name="conv4")(x3, train=train, mask=mask)
+        idx = None
+        if self.static_graph:
+            from pointseg import ops
+
+            idx = ops.knn_indices(xyz.astype(d), self.k, mask=mask)
+        x1 = EdgeConv(64, self.k, dtype=d, name="conv1")(xyz, train=train, mask=mask, idx=idx)
+        x2 = EdgeConv(64, self.k, dtype=d, name="conv2")(x1, train=train, mask=mask, idx=idx)
+        x3 = EdgeConv(64, self.k, dtype=d, name="conv3")(x2, train=train, mask=mask, idx=idx)
+        x4 = EdgeConv(128, self.k, dtype=d, name="conv4")(x3, train=train, mask=mask, idx=idx)
 
         color = SharedMLP(
             [64], act=leaky_relu_02, use_bias=False, dtype=d, name="color_conv"

@@ -289,9 +289,16 @@ class EdgeConv(nn.Module):
     remat: bool = False  # trade +22% step time for -1.5 GB temporaries
 
     @nn.compact
-    def __call__(self, x, train: bool = False, knn_on=None, mask=None):
+    def __call__(self, x, train: bool = False, knn_on=None, mask=None,
+                 idx=None):
+        """`idx` (B, N, k) reuses a precomputed neighbor graph instead
+        of the per-layer feature-space kNN — the static-graph mode
+        (models/dgcnn.py `static_graph`). Parameters are identical
+        either way; only the graph source changes."""
         x = x.astype(self.dtype)
-        idx = ops.knn_indices(x if knn_on is None else knn_on, self.k, mask=mask)
+        if idx is None:
+            idx = ops.knn_indices(x if knn_on is None else knn_on, self.k,
+                                  mask=mask)
         # p_j = x_j @ W_e gathers per-neighbor; the center offset
         # d_i = x_i @ (W_c - W_e) is formed from the two per-point
         # products so the parameters remain torch's (W_e, W_c).

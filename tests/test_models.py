@@ -122,3 +122,43 @@ def test_bf16_dtype_returns_f32_logits(x):
     _, out = _init_and_apply(model, x)
     assert out.dtype == jnp.float32  # logits always f32 for the loss
     assert bool(jnp.isfinite(out).all())
+
+
+def test_dgcnn_static_graph_checkpoint_compatible(x):
+    """static_graph changes no parameter: same tree either way, so
+    checkpoints trained in one mode load in the other."""
+    dyn = create_model("DGCNN", num_classes=C)
+    sta = create_model("DGCNN", num_classes=C, static_graph=True)
+    vd = dyn.init({"params": jax.random.key(0)}, x, train=False)
+    vs = sta.init({"params": jax.random.key(0)}, x, train=False)
+    assert jax.tree_util.tree_structure(vd) == jax.tree_util.tree_structure(vs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        vd, vs)
+
+
+def test_dgcnn_static_graph_equals_dynamic_at_k_equals_n():
+    """With k == N every layer's neighborhood is ALL points in both
+    modes, and EdgeConv's max/sum pooling is order-invariant — so the
+    static-graph forward must equal the dynamic one exactly there
+    (the modes only diverge when feature-space kNN differs from the
+    xyz kNN)."""
+    rng = np.random.default_rng(5)
+    small = jnp.asarray(rng.normal(size=(2, 32, 9)).astype(np.float32))
+    dyn = create_model("DGCNN", num_classes=C, k=32)
+    sta = create_model("DGCNN", num_classes=C, k=32, static_graph=True)
+    v = dyn.init({"params": jax.random.key(0)}, small, train=False)
+    a = dyn.apply(v, small, train=False)
+    b = sta.apply(v, small, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dgcnn_static_graph_train_step(x):
+    from pointseg.train.state import create_train_state, train_step
+
+    model = create_model("DeepGraphCnn", num_classes=C, static_graph=True)
+    state = create_train_state(model, x, 1e-3)
+    onehot = jnp.zeros((B, N, C), jnp.uint8).at[..., 0].set(1)
+    lengths = jnp.full((B,), N, jnp.int32)
+    state, metrics = train_step(state, x, onehot, lengths, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))

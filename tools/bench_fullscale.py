@@ -50,12 +50,15 @@ def hbm_used(dev) -> int | None:
 
 def probe_grant(step_mb: int = 512, cap_gb: int = 20) -> dict:
     """Allocates successive `step_mb` device buffers until OOM; returns
-    the usable grant. Buffers are EXPLICITLY deleted before returning —
-    relying on Python GC alone leaves them resident on the relay long
-    enough to OOM the very next big allocation (measured: a 4.4 GB
-    zeros failed minutes after the probe's `del`)."""
-    import gc
+    the usable grant.
 
+    RUN THIS IN ITS OWN PROCESS (``--probe-grant-only``): on the relay,
+    neither Python GC nor explicit jax.Array.delete() returns the
+    probe's buffers to the grant — a 4.4 GB zeros OOM'd 60+ s after
+    delete()-ing all 15.5 GB of probe buffers (measured twice). Only
+    process exit releases them, and release can lag exit by minutes
+    (the same lag shows up as 'relay wedged' right after an OOM'd
+    process dies)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,15 +76,11 @@ def probe_grant(step_mb: int = 512, cap_gb: int = 20) -> dict:
         if not is_oom_error(e):
             raise
     usable = len(held) * step_mb << 20
-    for b in held:
-        b.delete()
-    held.clear()
-    gc.collect()
     return {"step_mb": step_mb, "usable_bytes": usable,
             "usable_gb": round(usable / 2**30, 2)}
 
 
-def retry_alloc(fn, tries: int = 6, wait_s: float = 10.0):
+def retry_alloc(fn, tries: int = 10, wait_s: float = 30.0):
     """Retries a device allocation while deferred relay frees land."""
     from pointseg.runtime import is_oom_error
 
@@ -128,8 +127,14 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--dgcnn", action=argparse.BooleanOptionalAction,
                     default=True)
-    ap.add_argument("--probe-grant", action=argparse.BooleanOptionalAction,
-                    default=True)
+    ap.add_argument("--probe-grant-only", action="store_true",
+                    help="Run ONLY the grant allocation probe and print "
+                         "its JSON (run in a dedicated process — the "
+                         "probe's buffers release only at process exit).")
+    ap.add_argument("--grant-file", default=None,
+                    help="JSON from a prior --probe-grant-only run; "
+                         "merged into the artifact and used for the "
+                         "policy arithmetic.")
     ap.add_argument("--out", default="PIPELINE_BENCH_r03.json")
     args = ap.parse_args()
 
@@ -153,17 +158,24 @@ def main() -> int:
     dev = devs[0]
     print(f"devices: {devs}; hbm limit {hbm_bytes_limit()}", flush=True)
 
+    if args.probe_grant_only:
+        t0 = time.perf_counter()
+        out = probe_grant()
+        out["seconds"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps(out))
+        return 0
+
     results: dict = {
         "device": str(dev),
         "hbm_bytes_limit": hbm_bytes_limit(),
         "scale": {"points": args.points, "blocks": args.blocks},
     }
 
-    if args.probe_grant:
-        t0 = time.perf_counter()
-        results["grant_probe"] = probe_grant()
-        results["grant_probe"]["seconds"] = round(time.perf_counter() - t0, 1)
-        print(f"grant probe: {results['grant_probe']}", flush=True)
+    if args.grant_file and os.path.exists(args.grant_file):
+        with open(args.grant_file) as f:
+            results["grant_probe"] = json.load(f)
+        print(f"grant probe (from {args.grant_file}): "
+              f"{results['grant_probe']}", flush=True)
 
     def sync(x):
         jax.device_get(x.ravel()[0])
