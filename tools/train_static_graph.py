@@ -47,13 +47,13 @@ def main() -> int:
     from pointseg.train.state import create_train_state
 
     if not os.path.isdir(os.path.join(args.data_dir, "area_1")):
-        make_block_dataset(args.data_dir, areas=(1, 2, 3), rooms_per_area=2,
-                           points_per_room=3000, seed=0)
+        make_block_dataset(args.data_dir, areas=(1, 2, 3, 4, 5, 6),
+                           rooms_per_area=1, points_per_room=3000, seed=0)
 
     results = {"config": vars(args), "runs": []}
     for seed in args.seeds:
         train_loader, test_loader = create_block_dataloaders(
-            data_dir=args.data_dir, test_areas={3},
+            data_dir=args.data_dir, test_areas={6},
             train_batch_size=args.batch_size, test_batch_size=2,
             train_sampling=args.npoints, test_sampling=args.npoints,
             seed=seed, num_workers=0,
