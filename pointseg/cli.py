@@ -306,8 +306,13 @@ def cmd_evaluate(args) -> int:
     # so checkpoints load regardless; follow the training run's setting
     # unless explicitly overridden
     use_bf16 = args.bf16 or bool(config.get("bf16"))
+    extra = {}
+    if config.get("static_graph") and model_name in ("DGCNN", "DeepGraphCnn"):
+        # evaluate with the graph mode the model was trained in
+        extra["static_graph"] = True
     model = create_model(model_name, num_classes=num_classes,
-                        dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+                        dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+                        **extra)
 
     sampling = args.sampling
     example = jnp.zeros((args.batch_size, sampling or 4096, 9), jnp.float32)
@@ -437,8 +442,13 @@ def cmd_export(args) -> int:
     config = load_config(ckpt_dir) or {}
     model_name = args.model or config.get("model", "PointNet++")
     use_bf16 = args.bf16 or bool(config.get("bf16"))
+    extra = {}
+    if config.get("static_graph") and model_name in ("DGCNN", "DeepGraphCnn"):
+        # export the graph mode the model was trained in
+        extra["static_graph"] = True
     model = create_model(model_name, num_classes=args.num_classes,
-                        dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+                        dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+                        **extra)
     example = jnp.zeros((args.batch_size, args.npoints, 9), jnp.float32)
     state = create_train_state(model, example)
     state = restore_train_state(args.model_path, state)

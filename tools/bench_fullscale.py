@@ -172,10 +172,14 @@ def main() -> int:
     }
 
     if args.grant_file and os.path.exists(args.grant_file):
-        with open(args.grant_file) as f:
-            results["grant_probe"] = json.load(f)
-        print(f"grant probe (from {args.grant_file}): "
-              f"{results['grant_probe']}", flush=True)
+        try:
+            with open(args.grant_file) as f:
+                results["grant_probe"] = json.load(f)
+            print(f"grant probe (from {args.grant_file}): "
+                  f"{results['grant_probe']}", flush=True)
+        except (json.JSONDecodeError, OSError) as e:
+            # a wedged/killed probe run leaves garbage — proceed without
+            print(f"grant file unreadable ({e}); proceeding", flush=True)
 
     def sync(x):
         jax.device_get(x.ravel()[0])
