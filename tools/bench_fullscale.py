@@ -138,6 +138,18 @@ def main() -> int:
     ap.add_argument("--out", default="PIPELINE_BENCH_r03.json")
     args = ap.parse_args()
 
+    # Read every input file BEFORE attaching to the device: a process
+    # that attaches to the relay and then dies (even on a clean Python
+    # exception) wedges the grant for tens of minutes (CLAUDE.md round-3
+    # relay-memory findings) — fail fast while still detached.
+    grant_probe = None
+    if args.grant_file and os.path.exists(args.grant_file):
+        try:
+            with open(args.grant_file) as f:
+                grant_probe = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"grant file unreadable ({e}); proceeding", flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -171,15 +183,10 @@ def main() -> int:
         "scale": {"points": args.points, "blocks": args.blocks},
     }
 
-    if args.grant_file and os.path.exists(args.grant_file):
-        try:
-            with open(args.grant_file) as f:
-                results["grant_probe"] = json.load(f)
-            print(f"grant probe (from {args.grant_file}): "
-                  f"{results['grant_probe']}", flush=True)
-        except (json.JSONDecodeError, OSError) as e:
-            # a wedged/killed probe run leaves garbage — proceed without
-            print(f"grant file unreadable ({e}); proceeding", flush=True)
+    if grant_probe is not None:
+        results["grant_probe"] = grant_probe
+        print(f"grant probe (from {args.grant_file}): {grant_probe}",
+              flush=True)
 
     def sync(x):
         jax.device_get(x.ravel()[0])
