@@ -86,9 +86,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bf16", action="store_true", help="Compute in bfloat16.")
     p.add_argument("--static-graph", action="store_true",
                    help="DGCNN models: compute the kNN graph once on "
-                        "xyz and reuse it in every EdgeConv (~20% "
-                        "faster step; deviates from the reference's "
-                        "per-layer feature-space graphs).")
+                        "xyz and reuse it in every EdgeConv (about 20 "
+                        "percent faster step; deviates from the "
+                        "reference's per-layer feature-space graphs).")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard the batch over all devices (SPMD DP).")
     p.add_argument("--profile", default=None,
