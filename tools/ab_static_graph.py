@@ -45,7 +45,8 @@ def main() -> int:
     from pointseg.train.state import create_train_state
 
     setup_runtime()
-    devs, err = watchdog_devices(240, probe_compute=True)
+    init_timeout = float(os.environ.get("POINTSEG_BENCH_INIT_TIMEOUT", "240"))
+    devs, err = watchdog_devices(init_timeout, probe_compute=True)
     if devs is None:
         print(json.dumps({"error": err}))
         return 1

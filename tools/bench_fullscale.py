@@ -189,7 +189,11 @@ def main() -> int:
               flush=True)
 
     def sync(x):
-        jax.device_get(x.ravel()[0])
+        # index BEFORE fetching: x.ravel()[0] on a multi-GB array asks
+        # the remote compiler for a full-size reshape (observed HTTP 500
+        # from the compile helper on the 4.4 GB packed table); x[0,...,0]
+        # compiles a tiny slice instead
+        jax.device_get(x[(0,) * x.ndim])
 
     # ---- synthesize canonical tables at scale ----
     T, M = args.points, args.blocks
