@@ -63,6 +63,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "bucket padding is large).")
     p.add_argument("--num-workers", type=int, default=4,
                    help="Parallel host block readers (0 = serial).")
+    p.add_argument("--device-store", choices=["auto", "flat", "compact", "host"],
+                   default="auto",
+                   help="With --device-data: force a store layout "
+                        "instead of the budget-driven auto chain.")
     p.add_argument("--device-data", action="store_true",
                    help="Keep the whole train split resident in HBM and "
                         "sample blocks/points on device (zero per-step "
@@ -160,7 +164,8 @@ def cmd_train(args) -> int:
         # chunked host prefetcher, by HBM budget (device.py docstring)
         train_loader, data_mode = device_store_or_host_loader(
             raw_ds, args.train_batch_size, args.train_sampling,
-            seed=args.seed, num_workers=max(args.num_workers, 4))
+            seed=args.seed, num_workers=max(args.num_workers, 4),
+            layout=getattr(args, "device_store", "auto"))
         if data_mode in ("device", "compact"):
             store = train_loader.store
             print(f"Device-resident train split ({data_mode}): "

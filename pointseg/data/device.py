@@ -448,6 +448,7 @@ def device_store_or_host_loader(
     store_bytes_estimate: int | None = None,
     chunk: int = 8,
     num_workers: int = 8,
+    layout: str = "auto",
 ):
     """The training-input policy: flat device store when it fits, the
     16-byte/point compact store when only that fits (full S3DIS is
@@ -465,10 +466,16 @@ def device_store_or_host_loader(
     allocation failure (or a NotPackableError for the compact layout)
     falls through to the next stage.
 
+    `layout` forces a stage: "flat" / "compact" / "host" skip the
+    others entirely (a forced device layout still falls back to host on
+    OOM / NotPackableError); "auto" (default) walks the chain.
+
     Returns (loader, mode) with mode in {"device", "compact", "host"}.
     """
     from pointseg.runtime import is_oom_error
 
+    if layout not in ("auto", "flat", "compact", "host"):
+        raise ValueError(f"layout must be auto/flat/compact/host, got {layout}")
     limit = hbm_limit if hbm_limit is not None else hbm_bytes_limit()
 
     def fits(est):
@@ -479,11 +486,14 @@ def device_store_or_host_loader(
     compact_estimate = None if store_bytes_estimate is None else \
         (store_bytes_estimate * 16) // 37
     raw = None
-    for cls, est, mode in (
-        (DeviceBlockStore, store_bytes_estimate, "device"),
-        (CompactDeviceStore, compact_estimate, "compact"),
-    ):
-        if not fits(est):
+    stages = {
+        "flat": (DeviceBlockStore, store_bytes_estimate, "device"),
+        "compact": (CompactDeviceStore, compact_estimate, "compact"),
+    }
+    order = (("flat", "compact") if layout == "auto"
+             else (layout,) if layout in stages else ())
+    for cls, est, mode in (stages[s] for s in order):
+        if layout == "auto" and not fits(est):
             continue
         try:
             if raw is None:

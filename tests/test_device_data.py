@@ -371,6 +371,31 @@ def test_compact_store_scan_epoch_matches_sequential():
         seq.params, state.params)
 
 
+def test_policy_layout_override(tmp_path):
+    """layout= forces a single stage: 'compact' packs (or host-falls),
+    'host' skips device stores entirely, 'flat' ignores the budget."""
+    from pointseg.data.device import device_store_or_host_loader
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=1,
+                           points_per_room=2500, seed=2, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+
+    _, mode = device_store_or_host_loader(
+        ds, batch_size=2, npoints=64, num_classes=14, layout="compact")
+    assert mode == "compact"
+    _, mode = device_store_or_host_loader(
+        ds, batch_size=2, npoints=64, num_classes=14, layout="host")
+    assert mode == "host"
+    # forced flat ignores a budget that would reject it
+    _, mode = device_store_or_host_loader(
+        ds, batch_size=2, npoints=64, num_classes=14, layout="flat",
+        hbm_limit=1, model_workspace_bytes=1, store_bytes_estimate=10**9)
+    assert mode == "device"
+    with pytest.raises(ValueError):
+        device_store_or_host_loader(ds, batch_size=2, npoints=64,
+                                    num_classes=14, layout="nope")
+
+
 def test_compact_store_sharded_sampling_matches_unsharded():
     """Row-sharding the packed table over the mesh (multi-chip placement
     for splits bigger than one chip's grant) must not change sampling."""
