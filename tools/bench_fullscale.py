@@ -135,6 +135,11 @@ def main() -> int:
                     help="JSON from a prior --probe-grant-only run; "
                          "merged into the artifact and used for the "
                          "policy arithmetic.")
+    ap.add_argument("--layout", choices=["compact", "flat"],
+                    default="compact",
+                    help="Resident-store layout to measure. 'flat' "
+                         "needs a grant that holds the full f32 table "
+                         "(10.1 GB at S3DIS scale) + step temporaries.")
     ap.add_argument("--out", default="PIPELINE_BENCH_r03.json")
     args = ap.parse_args()
 
@@ -218,29 +223,41 @@ def main() -> int:
     }
     print(f"policy at grant {grant}: {results['policy']}", flush=True)
 
-    # ---- pack + chunked upload (the compact full-scale path) ----
-    t0 = time.perf_counter()
-    packed, centers = pack_block_table(pts, labels, counts)
-    results["pack_s"] = round(time.perf_counter() - t0, 1)
-    del pts, labels  # free ~10 GB host RAM
-    gb = packed.nbytes / 1e9
+    # ---- pack (compact) + chunked upload of the resident store ----
     before = hbm_used(dev)
-    t0 = time.perf_counter()
-    dpacked = retry_alloc(lambda: upload_flat(packed))
-    sync(dpacked)
-    up_s = time.perf_counter() - t0
-    store = CompactDeviceStore.from_packed(dpacked, centers, counts)
+    if args.layout == "compact":
+        t0 = time.perf_counter()
+        packed, centers = pack_block_table(pts, labels, counts)
+        results["pack_s"] = round(time.perf_counter() - t0, 1)
+        del pts, labels  # free ~10 GB host RAM
+        gb = packed.nbytes / 1e9
+        t0 = time.perf_counter()
+        dpacked = retry_alloc(lambda: upload_flat(packed))
+        sync(dpacked)
+        up_s = time.perf_counter() - t0
+        store = CompactDeviceStore.from_packed(dpacked, centers, counts)
+        del packed
+    else:
+        from pointseg.data.device import DeviceBlockStore
+
+        gb = (pts.nbytes + labels.nbytes) / 1e9
+        t0 = time.perf_counter()
+        dpts = retry_alloc(lambda: upload_flat(pts))
+        dlab = retry_alloc(lambda: upload_flat(labels))
+        sync(dpts)
+        up_s = time.perf_counter() - t0
+        store = DeviceBlockStore(dpts, dlab, counts)
+        del pts, labels
     after = hbm_used(dev)
     results.update({
         "upload_s": round(up_s, 1),
         "upload_gbps": round(gb / up_s, 3),
         "hbm_in_use_after_upload": after,
         "store_nbytes": store.nbytes,
-        "store_layout": "compact",
+        "store_layout": args.layout,
     })
-    print(f"pack {results['pack_s']}s; upload {up_s:.1f}s "
-          f"({gb / up_s:.2f} GB/s); hbm {before} -> {after}", flush=True)
-    del packed
+    print(f"upload {up_s:.1f}s ({gb / up_s:.2f} GB/s); "
+          f"hbm {before} -> {after}", flush=True)
 
     # ---- PointNet++ bf16 training through the device loader ----
     B, N = 8, 4096
