@@ -247,11 +247,19 @@ def main() -> int:
             per_model[f"PointNet++/{BENCH_DTYPE}"] = round(pps, 1)
             other_dtype = (
                 "float32" if BENCH_DTYPE == "bfloat16" else "bfloat16")
+            # MSG and PointNeXt-L first after the headline: they are the
+            # BASELINE.json target configs (#4/#5) that round 3 lacked
+            # rows for — if the budget truncates the sweep, the base
+            # families (already measured in BENCH_r03) drop first.
             sweep = [
+                ("PointNet++MSG", BENCH_DTYPE),
+                ("PointNeXt-L", BENCH_DTYPE),
                 ("PointNet", BENCH_DTYPE), ("PointNet", other_dtype),
                 ("PointNet++", other_dtype),
                 ("PointNeXt", BENCH_DTYPE), ("PointNeXt", other_dtype),
                 ("DeepGraphCnn", BENCH_DTYPE), ("DeepGraphCnn", other_dtype),
+                ("PointNet++MSG", other_dtype),
+                ("PointNeXt-L", other_dtype),
             ]
             budget = t_start + SWEEP_BUDGET_FRACTION * TOTAL_TIMEOUT_S
             for name, dt in sweep:

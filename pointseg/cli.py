@@ -32,7 +32,8 @@ import numpy as np
 
 from pointseg.data.s3dis import NUM_S3DIS_CLASSES, S3DIS_CLASSES, S3DIS_CLASSES_13
 
-MODEL_CHOICES = ["PointNet", "PointNet++", "PointNet++MSG", "PointNeXt", "DeepGraphCnn"]
+MODEL_CHOICES = ["PointNet", "PointNet++", "PointNet++MSG", "PointNeXt",
+                 "PointNeXt-B", "PointNeXt-L", "DeepGraphCnn"]
 
 
 def _add_train_args(p: argparse.ArgumentParser) -> None:
@@ -151,6 +152,13 @@ def cmd_train(args) -> int:
         test_pad_mode=args.test_pad_mode,
     )
     if args.device_data:
+        if args.accum_steps > 1:
+            # fail before the (possibly multi-minute) store build: the
+            # accumulation path host-stacks batches, which would add a
+            # device->host round trip per micro-batch on a device loader
+            raise SystemExit(
+                "--accum-steps requires a host loader; drop "
+                "--device-data or --accum-steps")
         # Swap the host train loader for the on-HBM sampling path
         # (pointseg/data/device.py); eval keeps the host loader — it
         # needs whole blocks, not samples.
@@ -172,8 +180,14 @@ def cmd_train(args) -> int:
                   f"{store.num_blocks} blocks, "
                   f"{store.nbytes / 1e6:.1f} MB on HBM.")
         else:
-            print("Train split exceeds the HBM budget; using the "
-                  "chunked host prefetcher.")
+            why = getattr(train_loader, "policy_reason", "")
+            if getattr(args, "device_store", "auto") == "host":
+                print("Device store layout forced to host; using the "
+                      "chunked host prefetcher.")
+            else:
+                print("Device store unavailable"
+                      + (f" ({why})" if why else "")
+                      + "; using the chunked host prefetcher.")
     all_areas = {1, 2, 3, 4, 5, 6}
     print(
         f"Initialized train dataloader with areas {all_areas - set(args.test_areas)}, "

@@ -486,28 +486,49 @@ def device_store_or_host_loader(
     compact_estimate = None if store_bytes_estimate is None else \
         (store_bytes_estimate * 16) // 37
     raw = None
+
+    def actual_estimate(name):
+        """Store bytes derived from the loaded arrays — used in auto
+        mode when the caller gave no estimate, so a doomed full-scale
+        upload is SKIPPED rather than attempted and rolled back (on the
+        relay an OOM'd buffer is never returned to the grant within the
+        process — CLAUDE.md round-3 relay-memory findings)."""
+        pts, _labs, counts = raw
+        t = int(pts.shape[0])
+        if name == "flat":
+            return t * int(pts.shape[1]) * 4 + t  # f32 points + u8 labels
+        return t * 16 + len(counts) * 12  # packed u32x4 + per-block meta
+
     stages = {
         "flat": (DeviceBlockStore, store_bytes_estimate, "device"),
         "compact": (CompactDeviceStore, compact_estimate, "compact"),
     }
     order = (("flat", "compact") if layout == "auto"
              else (layout,) if layout in stages else ())
-    for cls, est, mode in (stages[s] for s in order):
+    reasons: list[str] = []
+    for name in order:
+        cls, est, mode = stages[name]
         if layout == "auto" and not fits(est):
+            reasons.append(f"{name}: over budget (caller estimate)")
             continue
         try:
             if raw is None:
                 raw = _load_raw_blocks(dataset, num_workers)
+            if layout == "auto" and est is None and \
+                    not fits(actual_estimate(name)):
+                reasons.append(f"{name}: over budget (measured "
+                               f"{actual_estimate(name) / 1e9:.2f} GB)")
+                continue
             store = cls(*raw, num_classes=num_classes)
-            return (
-                DeviceEpochLoader(store, batch_size, npoints, seed=seed),
-                mode,
-            )
-        except NotPackableError:
-            pass
+            loader = DeviceEpochLoader(store, batch_size, npoints, seed=seed)
+            loader.policy_reason = "; ".join(reasons) or f"{name} fits"
+            return loader, mode
+        except NotPackableError as e:
+            reasons.append(f"{name}: not packable ({e})")
         except Exception as e:  # noqa: BLE001 — only OOM falls back
             if not is_oom_error(e):
                 raise
+            reasons.append(f"{name}: device OOM")
     import copy
 
     from pointseg.data.datasets import Loader
@@ -520,7 +541,9 @@ def device_store_or_host_loader(
     host = Loader(sampled, batch_size=batch_size, shuffle=True,
                   pad_to=npoints, num_classes=num_classes, seed=seed,
                   num_workers=num_workers)
-    return ChunkedDevicePrefetcher(host, chunk=chunk), "host"
+    prefetcher = ChunkedDevicePrefetcher(host, chunk=chunk)
+    prefetcher.policy_reason = "; ".join(reasons) or "host layout forced"
+    return prefetcher, "host"
 
 
 class ChunkedDevicePrefetcher:

@@ -10,12 +10,18 @@ from pointseg.models.pointnetpp import PointNetPP, PointNetPPMSG  # noqa: F401
 from pointseg.models.pointnext import PointNeXt  # noqa: F401
 from pointseg.models.dgcnn import DGCNN, DGCNNWithColor, get_model  # noqa: F401
 
+from functools import partial
+
 # CLI names match the reference's train.py choices (train.py:42).
+# PointNeXt-B/-L follow the official PointNeXt S3DIS depth schedule
+# (blocks per stage); plain "PointNeXt" is the reference's exact model.
 MODEL_REGISTRY = {
     "PointNet": PointNetSeg,
     "PointNet++": PointNetPP,
     "PointNet++MSG": PointNetPPMSG,
     "PointNeXt": PointNeXt,
+    "PointNeXt-B": partial(PointNeXt, blocks=(2, 3, 2, 2)),
+    "PointNeXt-L": partial(PointNeXt, blocks=(3, 5, 3, 3)),
     "DeepGraphCnn": DGCNNWithColor,
     "DGCNN": DGCNN,
 }

@@ -9,8 +9,13 @@ remain (PointNeXt.py:58) — then the same FeaturePropagation decoder,
 Dropout(0.5) and a class head. Returns raw logits (B, N, classes).
 
 The reference's `version` ctor arg is accepted-but-unused
-(PointNeXt.py:22); here stage widths scale with `width` so -S/-B/-L
-style scaling is expressible (default matches the reference exactly).
+(PointNeXt.py:22); here stage widths scale with `width` and per-stage
+InvResMLP counts scale with `blocks`, so -S/-B/-L style scaling is
+expressible (defaults match the reference exactly). `blocks` follows
+the official PointNeXt depth schedule for S3DIS — -B = (2, 3, 2, 2),
+-L = (3, 5, 3, 3) at width 32 — exposed via the `PointNeXt-B` /
+`PointNeXt-L` registry names (BASELINE.json config #5 names
+"PointNeXt-L (InvResMLP blocks)").
 """
 
 from __future__ import annotations
@@ -26,8 +31,24 @@ from pointseg.nn import FeaturePropagation, InvResMLP, SetAbstraction, SharedMLP
 class PointNeXt(nn.Module):
     num_classes: int = 14
     width: int = 32  # stem width; reference uses 32 (PointNeXt.py:39)
+    # InvResMLP blocks per SA stage; the reference runs (1, 2, 1, 1)
+    # with the stage-2 pair at radii 0.1 then 0.2 (PointNeXt.py:49-50).
+    # Extra depth repeats each stage's LAST radius, preserving the
+    # reference geometry for the default schedule.
+    blocks: tuple = (1, 2, 1, 1)
     dropout: float = 0.5  # reference rate (PointNeXt.py:76); 0 disables
     dtype: Any = jnp.float32
+
+    def _irmlp_stack(self, stage, coords, feats, radii, channels, k, train):
+        """`blocks[stage-1]` InvResMLPs; names keep the reference tree
+        (irmlp2 / irmlp2_1) so default-config checkpoints stay loadable."""
+        n_blocks = self.blocks[stage - 1]
+        for j in range(n_blocks):
+            r = radii[j] if j < len(radii) else radii[-1]
+            name = f"irmlp{stage}" if j == 0 else f"irmlp{stage}_{j}"
+            coords, feats = InvResMLP(r, channels, k, dtype=self.dtype,
+                                      name=name)(coords, feats, train=train)
+        return coords, feats
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -40,34 +61,23 @@ class PointNeXt(nn.Module):
         c1, f1 = SetAbstraction(
             1024, 0.1, [w, w, 2 * w], grouping_norm=True, dtype=d, name="sa1"
         )(coords0, f0, train=train, mask=mask)
-        c1, f1 = InvResMLP(0.1, 2 * w, 32, dtype=d, name="irmlp1")(
-            c1, f1, train=train
-        )
+        c1, f1 = self._irmlp_stack(1, c1, f1, (0.1,), 2 * w, 32, train)
 
         c2, f2 = SetAbstraction(
             256, 0.2, [2 * w, 2 * w, 4 * w], grouping_norm=True, dtype=d, name="sa2"
         )(c1, f1, train=train)
-        c2, f2 = InvResMLP(0.1, 4 * w, 32, dtype=d, name="irmlp2")(
-            c2, f2, train=train
-        )
-        c2, f2 = InvResMLP(0.2, 4 * w, 32, dtype=d, name="irmlp2_1")(
-            c2, f2, train=train
-        )
+        c2, f2 = self._irmlp_stack(2, c2, f2, (0.1, 0.2), 4 * w, 32, train)
 
         c3, f3 = SetAbstraction(
             64, 0.4, [4 * w, 4 * w, 8 * w], grouping_norm=True, dtype=d, name="sa3"
         )(c2, f2, train=train)
-        c3, f3 = InvResMLP(0.4, 8 * w, 32, dtype=d, name="irmlp3")(
-            c3, f3, train=train
-        )
+        c3, f3 = self._irmlp_stack(3, c3, f3, (0.4,), 8 * w, 32, train)
 
         c4, f4 = SetAbstraction(
             16, 0.8, [8 * w, 8 * w, 16 * w], grouping_norm=True, dtype=d, name="sa4"
         )(c3, f3, train=train)
         # only 16 points remain -> K=16 (reference PointNeXt.py:58)
-        c4, f4 = InvResMLP(0.8, 16 * w, 16, dtype=d, name="irmlp4")(
-            c4, f4, train=train
-        )
+        c4, f4 = self._irmlp_stack(4, c4, f4, (0.8,), 16 * w, 16, train)
 
         f3 = FeaturePropagation([256, 256], dtype=d, name="fp4")(c3, c4, f3, f4, train=train)
         f2 = FeaturePropagation([256, 256], dtype=d, name="fp3")(c2, c3, f2, f3, train=train)

@@ -71,6 +71,14 @@ def train_epoch(
     if accum_steps > 1:
         if scan_steps > 1:
             raise ValueError("scan_steps and accum_steps are mutually exclusive")
+        if isinstance(train_loader, DeviceEpochLoader):
+            # _train_epoch_accum stacks batches with np.asarray — on a
+            # device loader every micro-batch would pay a silent
+            # device->host round trip (~30 ms+ each on the relay)
+            raise ValueError(
+                "accum_steps > 1 requires a host loader; the device "
+                "store path fuses sampling on HBM and cannot be "
+                "host-stacked (drop --device-data or --accum-steps)")
         return _train_epoch_accum(
             state, train_loader, rng, logger, log_interval, global_step,
             accum_steps,

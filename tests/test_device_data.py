@@ -438,3 +438,51 @@ def test_upload_flat_chunked_matches_device_put():
     lab = rng.integers(0, 14, size=1000).astype(np.uint8)
     np.testing.assert_array_equal(
         np.asarray(upload_flat(lab, chunk_rows=256)), lab)
+
+
+def test_policy_auto_mode_measures_fit_without_caller_estimate(tmp_path):
+    """ADVICE r03 (medium): with no caller store_bytes_estimate, auto
+    mode must derive the fit check from the loaded arrays and SKIP a
+    doomed upload (on the relay an OOM'd buffer never returns to the
+    grant within the process), instead of attempting flat and rolling
+    back."""
+    from pointseg.data.device import device_store_or_host_loader
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=2,
+                           points_per_room=3000, seed=1, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+    total = sum(ds[i][0].shape[0] for i in range(len(ds)))
+    flat_bytes = total * 37
+    # budget admits compact but not flat; NO caller estimate
+    loader, mode = device_store_or_host_loader(
+        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+        hbm_limit=flat_bytes, model_workspace_bytes=flat_bytes // 2)
+    assert mode == "compact"
+    assert "flat: over budget (measured" in loader.policy_reason
+    # budget admits neither -> host, both skips recorded, no upload
+    loader, mode = device_store_or_host_loader(
+        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+        hbm_limit=total * 8, model_workspace_bytes=total * 4)
+    assert mode == "host"
+    assert "flat: over budget (measured" in loader.policy_reason
+    assert "compact: over budget (measured" in loader.policy_reason
+
+
+def test_accum_steps_rejects_device_loader():
+    """ADVICE r03 (low): gradient accumulation host-stacks batches, so
+    a DeviceEpochLoader (device-resident micro-batches) must be
+    rejected rather than silently round-tripped through the host."""
+    from pointseg.data.device import DeviceBlockStore
+    from pointseg.models import PointNetSeg
+    from pointseg.train.loop import train_epoch
+    from pointseg.train.state import create_train_state
+
+    pts, labs, counts = _canonical_blocks(num_blocks=3, seed=4)
+    store = DeviceBlockStore(pts, labs, counts, num_classes=14)
+    loader = DeviceEpochLoader(store, batch_size=2, npoints=64, seed=0)
+    model = PointNetSeg(num_classes=14)
+    p0, _, _ = next(iter(loader))
+    state = create_train_state(model, p0, 1e-3)
+    with pytest.raises(ValueError, match="host loader"):
+        train_epoch(state, loader, jax.random.key(0), None, 20, 0,
+                    accum_steps=2)

@@ -162,3 +162,24 @@ def test_dgcnn_static_graph_train_step(x):
     lengths = jnp.full((B,), N, jnp.int32)
     state, metrics = train_step(state, x, onehot, lengths, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pointnext_depth_variants(x):
+    """PointNeXt-B/-L (official depth schedule, BASELINE.json config #5)
+    deepen the InvResMLP stacks without touching the default tree: the
+    reference-exact 'PointNeXt' keeps its exact param names (checkpoint
+    compatibility) and -L strictly grows the param count."""
+    import jax
+
+    def tree(name):
+        m = create_model(name, num_classes=C)
+        v = m.init({"params": jax.random.key(0)}, x, train=False)
+        return v["params"]
+
+    base, big = tree("PointNeXt"), tree("PointNeXt-L")
+    assert {"irmlp1", "irmlp2", "irmlp2_1", "irmlp3", "irmlp4"} <= set(base)
+    assert "irmlp2_2" not in base and "irmlp1_1" not in base
+    # -L: blocks (3,5,3,3) -> stage 2 has irmlp2..irmlp2_4
+    assert {"irmlp2_2", "irmlp2_3", "irmlp2_4", "irmlp1_2", "irmlp4_2"} <= set(big)
+    count = lambda p: sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(p))
+    assert count(big) > count(base)
