@@ -72,6 +72,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="Keep the whole train split resident in HBM and "
                         "sample blocks/points on device (zero per-step "
                         "host I/O; with-replacement point sampling).")
+    p.add_argument("--pack-cache", default=None, metavar="DIR",
+                   help="With --device-data: persist the packed device "
+                        "store here, keyed by a dataset fingerprint. A "
+                        "hit skips the raw block load and the pack "
+                        "(~285 s host work at full S3DIS scale), so "
+                        "restarts go straight to the upload.")
     p.add_argument("--scan-steps", type=int, default=1,
                    help="With --device-data: fuse K (sample -> train "
                         "step) iterations into one lax.scan program "
@@ -173,7 +179,8 @@ def cmd_train(args) -> int:
         train_loader, data_mode = device_store_or_host_loader(
             raw_ds, args.train_batch_size, args.train_sampling,
             seed=args.seed, num_workers=max(args.num_workers, 4),
-            layout=getattr(args, "device_store", "auto"))
+            layout=getattr(args, "device_store", "auto"),
+            pack_cache=getattr(args, "pack_cache", None))
         if data_mode in ("device", "compact"):
             store = train_loader.store
             print(f"Device-resident train split ({data_mode}): "

@@ -140,6 +140,98 @@ def pack_block_table(
     return packed, np.ascontiguousarray(centers, np.float32)
 
 
+def dataset_fingerprint(dataset) -> str | None:
+    """Stable content key for a `BlockDataset`'s on-disk files (path,
+    size, mtime_ns) — keys the packed-store cache. None when the
+    dataset does not expose its file list (in-memory datasets)."""
+    import hashlib
+    import os
+
+    blocks = getattr(dataset, "blocks", None)
+    data_dir = getattr(dataset, "data_dir", None)
+    if blocks is None or data_dir is None:
+        return None
+    h = hashlib.sha256()
+    for a, _i, _j, fn in blocks:
+        st = os.stat(os.path.join(data_dir, f"area_{a}", fn))
+        h.update(f"{a}/{fn}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:24]
+
+
+def load_packed_cached(dataset, cache_dir: str, num_workers: int = 8):
+    """(packed, centers, counts) for `dataset`, served from an on-disk
+    cache when the dataset fingerprint matches; packs (and writes the
+    cache) otherwise.
+
+    Full-S3DIS pack is ~285 s of host work per process plus the raw
+    block load before it (PIPELINE_BENCH_r03.json cold start ≈ 9.5 min
+    to step 1); the cache pays it once ever. Hits return the packed
+    table MEMORY-MAPPED, so restart cost is metadata + the chunked
+    upload alone (VERDICT r03 item 6). Writes are atomic (tmp + rename)
+    so a killed process never leaves a half cache behind."""
+    import json
+    import os
+
+    fp = dataset_fingerprint(dataset)
+    cached = _read_pack_cache(cache_dir, fp)
+    if cached is not None:
+        return cached
+
+    pts, labs, counts = _load_raw_blocks(dataset, num_workers)
+    counts = np.asarray(counts, np.int32)
+    packed, centers = pack_block_table(pts, labs, counts)
+    if fp is not None:
+        _write_pack_cache(cache_dir, fp, packed, centers, counts)
+    return packed, centers, counts
+
+
+_PACK_CACHE_NAMES = ("packed.npy", "centers.npy", "counts.npy")
+
+
+def _read_pack_cache(cache_dir: str, fp: str | None):
+    """Cache hit -> (packed mmap, centers, counts); None otherwise."""
+    import json
+    import os
+
+    meta_p = os.path.join(cache_dir, "meta.json")
+    if fp is None or not os.path.exists(meta_p):
+        return None
+    try:
+        with open(meta_p) as f:
+            cached_fp = json.load(f).get("fingerprint")
+    except (OSError, ValueError):
+        return None
+    if cached_fp != fp or not all(
+        os.path.exists(os.path.join(cache_dir, n)) for n in _PACK_CACHE_NAMES
+    ):
+        return None
+    packed = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[0]),
+                     mmap_mode="r")
+    centers = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[1]))
+    counts = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[2]))
+    return packed, centers, counts
+
+
+def _write_pack_cache(cache_dir, fp, packed, centers, counts) -> None:
+    """Atomic (tmp + rename) so a killed process never leaves a half
+    cache; meta.json lands last, making partial writes invisible."""
+    import json
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    pid = os.getpid()
+    for name, arr in zip(_PACK_CACHE_NAMES, (packed, centers, counts)):
+        # np.save appends .npy to extensionless paths — keep it
+        tmp = os.path.join(cache_dir, f".{name}.{pid}.tmp.npy")
+        np.save(tmp, arr)
+        os.replace(tmp, os.path.join(cache_dir, name))
+    tmp = os.path.join(cache_dir, f".meta.{pid}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fp, "rows": int(packed.shape[0]),
+                   "blocks": int(counts.shape[0])}, f)
+    os.replace(tmp, os.path.join(cache_dir, "meta.json"))
+
+
 def _choose_rows(offsets, counts, order, step, key, batch_size, npoints):
     """Block choice + within-block row sampling shared by both store
     layouts. Returns (rows (B, n) flat-table indices, safe block ids,
@@ -449,6 +541,7 @@ def device_store_or_host_loader(
     chunk: int = 8,
     num_workers: int = 8,
     layout: str = "auto",
+    pack_cache: str | None = None,
 ):
     """The training-input policy: flat device store when it fits, the
     16-byte/point compact store when only that fits (full S3DIS is
@@ -470,6 +563,11 @@ def device_store_or_host_loader(
     others entirely (a forced device layout still falls back to host on
     OOM / NotPackableError); "auto" (default) walks the chain.
 
+    `pack_cache` names a directory persisting the PACKED table keyed by
+    the dataset fingerprint (VERDICT r03 item 6): a hit skips the raw
+    block load AND the ~285 s full-scale pack — restart cost becomes
+    metadata + the chunked upload; a miss packs once and writes it.
+
     Returns (loader, mode) with mode in {"device", "compact", "host"}.
     """
     from pointseg.runtime import is_oom_error
@@ -486,18 +584,28 @@ def device_store_or_host_loader(
     compact_estimate = None if store_bytes_estimate is None else \
         (store_bytes_estimate * 16) // 37
     raw = None
+    fp_key = dataset_fingerprint(dataset) if pack_cache is not None else None
+    cached = _read_pack_cache(pack_cache, fp_key) if pack_cache else None
 
     def actual_estimate(name):
-        """Store bytes derived from the loaded arrays — used in auto
-        mode when the caller gave no estimate, so a doomed full-scale
-        upload is SKIPPED rather than attempted and rolled back (on the
-        relay an OOM'd buffer is never returned to the grant within the
-        process — CLAUDE.md round-3 relay-memory findings)."""
-        pts, _labs, counts = raw
-        t = int(pts.shape[0])
+        """Store bytes derived from the loaded arrays (or the pack
+        cache's metadata) — used in auto mode when the caller gave no
+        estimate, so a doomed full-scale upload is SKIPPED rather than
+        attempted and rolled back (on the relay an OOM'd buffer is
+        never returned to the grant within the process — CLAUDE.md
+        round-3 relay-memory findings)."""
+        if raw is not None:
+            pts, _labs, counts = raw
+            t, f, m = int(pts.shape[0]), int(pts.shape[1]), len(counts)
+        else:  # cache hit: T rows of 16 B packed / T*37 flat
+            packed, centers, counts = cached
+            t, f, m = int(packed.shape[0]), 9, int(counts.shape[0])
         if name == "flat":
-            return t * int(pts.shape[1]) * 4 + t  # f32 points + u8 labels
-        return t * 16 + len(counts) * 12  # packed u32x4 + per-block meta
+            return t * f * 4 + t  # f32 points + u8 labels
+        return t * 16 + m * 12  # packed u32x4 + per-block meta
+
+    def have_estimate():
+        return raw is not None or cached is not None
 
     stages = {
         "flat": (DeviceBlockStore, store_bytes_estimate, "device"),
@@ -512,14 +620,45 @@ def device_store_or_host_loader(
             reasons.append(f"{name}: over budget (caller estimate)")
             continue
         try:
-            if raw is None:
-                raw = _load_raw_blocks(dataset, num_workers)
-            if layout == "auto" and est is None and \
+            if layout == "auto" and est is None and have_estimate() and \
                     not fits(actual_estimate(name)):
                 reasons.append(f"{name}: over budget (measured "
                                f"{actual_estimate(name) / 1e9:.2f} GB)")
                 continue
-            store = cls(*raw, num_classes=num_classes)
+            if name == "compact" and pack_cache is not None:
+                if cached is None:
+                    if raw is None:
+                        raw = _load_raw_blocks(dataset, num_workers)
+                        if layout == "auto" and est is None and \
+                                not fits(actual_estimate(name)):
+                            reasons.append(
+                                f"{name}: over budget (measured "
+                                f"{actual_estimate(name) / 1e9:.2f} GB)")
+                            continue
+                    counts_arr = np.asarray(raw[2], np.int32)
+                    packed, centers = pack_block_table(
+                        raw[0], raw[1], counts_arr)
+                    if fp_key is not None:
+                        _write_pack_cache(pack_cache, fp_key, packed,
+                                          centers, counts_arr)
+                else:
+                    packed, centers, counts_arr = cached
+                # big tables stream in row chunks (one giant relay
+                # message otherwise); mmap'd cache hits never fully
+                # materialize on the host
+                table = (upload_flat(packed)
+                         if packed.nbytes > (1 << 30) else packed)
+                store = CompactDeviceStore.from_packed(
+                    table, centers, counts_arr, num_classes=num_classes)
+            else:
+                if raw is None:
+                    raw = _load_raw_blocks(dataset, num_workers)
+                    if layout == "auto" and est is None and \
+                            not fits(actual_estimate(name)):
+                        reasons.append(f"{name}: over budget (measured "
+                                       f"{actual_estimate(name) / 1e9:.2f} GB)")
+                        continue
+                store = cls(*raw, num_classes=num_classes)
             loader = DeviceEpochLoader(store, batch_size, npoints, seed=seed)
             loader.policy_reason = "; ".join(reasons) or f"{name} fits"
             return loader, mode

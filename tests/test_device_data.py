@@ -468,6 +468,95 @@ def test_policy_auto_mode_measures_fit_without_caller_estimate(tmp_path):
     assert "compact: over budget (measured" in loader.policy_reason
 
 
+def test_pack_cache_hit_skips_raw_load(tmp_path, monkeypatch):
+    """VERDICT r03 item 6: the persisted pack cache. A first build with
+    pack_cache= packs and writes the cache; a second process-equivalent
+    call must serve the packed table from disk WITHOUT touching the raw
+    block files (full S3DIS pack is ~285 s of host work per restart),
+    and sample bit-identically to the uncached store."""
+    import pointseg.data.device as dev
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=2,
+                           points_per_room=3000, seed=1, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+    cache = str(tmp_path / "pack_cache")
+
+    loader1, mode = dev.device_store_or_host_loader(
+        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+        layout="compact", pack_cache=cache)
+    assert mode == "compact"
+    import os
+    assert os.path.exists(os.path.join(cache, "meta.json"))
+
+    # hit path: any raw block load is a test failure
+    def _boom(dataset, num_workers):
+        raise AssertionError("cache hit must not load raw blocks")
+
+    monkeypatch.setattr(dev, "_load_raw_blocks", _boom)
+    loader2, mode = dev.device_store_or_host_loader(
+        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+        layout="compact", pack_cache=cache)
+    assert mode == "compact"
+    b1, b2 = next(iter(loader1)), next(iter(loader2))
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    monkeypatch.undo()
+
+    # touching a source file invalidates the fingerprint -> repack
+    fn = ds.blocks[0][3]
+    p = os.path.join(d, "area_1", fn)
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    assert dev._read_pack_cache(cache, dev.dataset_fingerprint(ds)) is None
+    loader3, mode = dev.device_store_or_host_loader(
+        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+        layout="compact", pack_cache=cache)
+    assert mode == "compact"
+    b3 = next(iter(loader3))
+    for a, b in zip(b1, b3):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_cache_auto_mode_skips_flat_budget(tmp_path):
+    """With a cache hit in auto mode, the flat-store fit check must be
+    answerable from the cache metadata (no raw load), so an over-budget
+    flat stage is skipped straight to the cached compact store."""
+    from pointseg.data.device import device_store_or_host_loader
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=2,
+                           points_per_room=3000, seed=1, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+    cache = str(tmp_path / "pack_cache")
+    total = sum(ds[i][0].shape[0] for i in range(len(ds)))
+    flat_bytes = total * 37
+
+    # warm the cache (forced compact, no budget)
+    device_store_or_host_loader(ds, batch_size=2, npoints=128,
+                                num_classes=14, layout="compact",
+                                pack_cache=cache)
+    loader, mode = device_store_or_host_loader(
+        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+        hbm_limit=flat_bytes, model_workspace_bytes=flat_bytes // 2,
+        pack_cache=cache)
+    assert mode == "compact"
+    assert "flat: over budget (measured" in loader.policy_reason
+
+
+def test_load_packed_cached_roundtrip(tmp_path):
+    """`load_packed_cached` returns identical (packed, centers, counts)
+    on miss (pack) and hit (mmap read)."""
+    from pointseg.data.device import load_packed_cached
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=1,
+                           points_per_room=2500, seed=2, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+    cache = str(tmp_path / "c")
+    p1, c1, n1 = load_packed_cached(ds, cache)
+    p2, c2, n2 = load_packed_cached(ds, cache)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
 def test_accum_steps_rejects_device_loader():
     """ADVICE r03 (low): gradient accumulation host-stacks batches, so
     a DeviceEpochLoader (device-resident micro-batches) must be
