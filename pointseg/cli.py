@@ -735,7 +735,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="whole-room windows: 'device' scans them inside "
                         "one jitted program with the room resident on "
                         "the chip (one transfer each way per room); "
-                        "'host' is the reference-shaped per-window loop")
+                        "'host' is the reference-shaped per-window loop. "
+                        "In f32 the two are bit-identical; under --bf16 "
+                        "expect ~0.1-0.2%% argmax flips at near-uniform "
+                        "confidence (different reduction order breaks "
+                        "ties differently — ROOMS_BENCH_r03.json)")
     p.add_argument("--bf16", action="store_true",
                    help="Compute in bfloat16 (params stay f32, so any "
                         "checkpoint loads either way). Defaults to the "

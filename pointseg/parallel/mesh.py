@@ -46,6 +46,10 @@ def create_hybrid_mesh(
     axes: tuple[str, ...] = ("data", "model"),
     ici_shape: tuple[int, ...] | None = None,
     dcn_axis: str = "data",
+    *,
+    devices=None,
+    process_count: int | None = None,
+    local_device_count: int | None = None,
 ) -> Mesh:
     """Multi-host mesh: `dcn_axis` spans hosts over DCN, everything
     else stays on-slice over ICI.
@@ -65,9 +69,18 @@ def create_hybrid_mesh(
         ici_shape: per-host device grid (default: all local devices on
             the first non-DCN axis).
         dcn_axis: the axis that spans hosts.
+        devices / process_count / local_device_count: overrides for the
+            global runtime topology (default: jax.devices() etc.) —
+            lets tests drive the multi-host placement without a real
+            multi-process runtime, and callers compose meshes over a
+            device subset.
     """
-    n_proc = jax.process_count()
-    local = jax.local_device_count()
+    n_proc = process_count if process_count is not None \
+        else jax.process_count()
+    local = local_device_count if local_device_count is not None \
+        else jax.local_device_count()
+    if devices is None:
+        devices = jax.devices()
     if ici_shape is None:
         # all local devices on one axis: the first non-DCN axis in a
         # multi-host run (the DCN axis is the host grid), the first
@@ -77,13 +90,18 @@ def create_hybrid_mesh(
         ici_shape = tuple(
             local if i == wide else 1 for i in range(len(axes)))
     if n_proc == 1:
-        return create_mesh(jax.devices(), axes=axes, shape=ici_shape)
+        return create_mesh(devices, axes=axes, shape=ici_shape)
     from jax.experimental import mesh_utils
 
     dcn_shape = tuple(n_proc if a == dcn_axis else 1 for a in axes)
-    devices = mesh_utils.create_hybrid_device_mesh(
-        ici_shape, dcn_shape, devices=jax.devices())
-    return Mesh(devices, axes)
+    # TPU devices carry slice_index (the physical ICI-slice id — the
+    # correct DCN granule); platforms without it (CPU multi-process,
+    # some GPU builds) group by process instead of crashing on the
+    # missing attribute
+    grid = mesh_utils.create_hybrid_device_mesh(
+        ici_shape, dcn_shape, devices=devices,
+        process_is_granule=not hasattr(devices[0], "slice_index"))
+    return Mesh(grid, axes)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

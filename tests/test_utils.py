@@ -94,7 +94,15 @@ def test_device_stream_matches_host_loop(rng, n):
     """The device-resident scan-over-windows path must reproduce the
     host per-window loop — same schedule, same masked forwards, same
     overlap averaging — for every size regime: sub-window, exactly one
-    window, multi-window divisible and not."""
+    window, multi-window divisible and not.
+
+    This is the documented f32 EXACTNESS guarantee (docs/MIGRATION.md,
+    `evaluate --stream` help): argmax bit-identical in f32
+    (assert_array_equal below, and ROOMS_BENCH_r03.json mismatch=0 on
+    chip at real room sizes). bf16 carries no such guarantee — its
+    reduction-order tie-breaks flip ~0.16% of near-uniform-confidence
+    points; do not weaken this test to a tolerance to accommodate a
+    bf16 path."""
     fwd = _forward()
     pts = rng.normal(size=(n, 9)).astype(np.float32)
     want_p, want_c = predict_single_scene(fwd, pts, window_size=64, overlap=16)
