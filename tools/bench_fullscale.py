@@ -37,6 +37,10 @@ import time
 
 import numpy as np
 
+# process-start reference for --restart-from-cache (captures interpreter
+# + import + relay-attach time in the restart account)
+_T0 = time.perf_counter()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -135,11 +139,24 @@ def main() -> int:
                     help="JSON from a prior --probe-grant-only run; "
                          "merged into the artifact and used for the "
                          "policy arithmetic.")
-    ap.add_argument("--layout", choices=["compact", "flat"],
+    ap.add_argument("--layout", choices=["compact", "flat", "both"],
                     default="compact",
                     help="Resident-store layout to measure. 'flat' "
                          "needs a grant that holds the full f32 table "
-                         "(10.1 GB at S3DIS scale) + step temporaries.")
+                         "(10.1 GB at S3DIS scale) + step temporaries; "
+                         "'both' builds BOTH in one session (VERDICT "
+                         "r03 weak #5: the same-session flat-vs-compact "
+                         "sampler A/B — needs 53 B/point of grant).")
+    ap.add_argument("--write-pack-cache", default=None, metavar="DIR",
+                    help="Persist the packed table to this pack-cache "
+                         "dir (keyed synth-<T>-<M>) for a later "
+                         "--restart-from-cache run.")
+    ap.add_argument("--restart-from-cache", default=None, metavar="DIR",
+                    help="VERDICT r03 item 6: restart-to-step-1 timing. "
+                         "Reads the packed store from the pack cache "
+                         "(no synthesis, no pack), uploads, runs one "
+                         "sampled train step; reports per-phase "
+                         "timings from process start.")
     ap.add_argument("--out", default="PIPELINE_BENCH_r03.json")
     args = ap.parse_args()
 
@@ -200,6 +217,58 @@ def main() -> int:
         # compiles a tiny slice instead
         jax.device_get(x[(0,) * x.ndim])
 
+    if args.restart_from_cache:
+        # ---- VERDICT r03 item 6: restart-to-step-1 from the cache ----
+        from pointseg.data.device import _read_pack_cache
+
+        attach_s = time.perf_counter() - _T0
+        fp = f"synth-{args.points}-{args.blocks}"
+        t0 = time.perf_counter()
+        cached = _read_pack_cache(args.restart_from_cache, fp)
+        if cached is None:
+            print(json.dumps({"error": f"no pack cache for {fp} in "
+                                       f"{args.restart_from_cache}"}))
+            return 1
+        packed, centers, counts = cached
+        read_s = time.perf_counter() - t0  # mmap open: metadata only
+        gb = packed.nbytes / 1e9
+        t0 = time.perf_counter()
+        dpacked = retry_alloc(lambda: upload_flat(packed))
+        sync(dpacked)
+        upload_s = time.perf_counter() - t0
+        store = CompactDeviceStore.from_packed(dpacked, centers, counts)
+        ready_s = time.perf_counter() - _T0
+        B, N = 8, 4096
+        key = jax.random.key(0)
+        model = create_model("PointNet++", num_classes=14,
+                             dtype=jnp.bfloat16)
+        step = jax.jit(state_mod.train_step.__wrapped__,
+                       donate_argnums=(0,))
+        t0 = time.perf_counter()
+        tstate = create_train_state(model, jnp.zeros((B, N, 9)), 1e-3)
+        it = iter(DeviceEpochLoader(store, B, N, seed=0))
+        tstate, m = step(tstate, *next(it), key)
+        sync(m["loss"])
+        first_step_s = time.perf_counter() - t0  # compile lottery rides here
+        total_s = time.perf_counter() - _T0
+        results["restart_from_cache"] = {
+            "attach_s": round(attach_s, 1),
+            "cache_read_s": round(read_s, 2),
+            "upload_s": round(upload_s, 1),
+            "upload_gbps": round(gb / upload_s, 3),
+            "store_ready_from_process_start_s": round(ready_s, 1),
+            "first_step_incl_compile_s": round(first_step_s, 1),
+            "total_to_step1_s": round(total_s, 1),
+            "r03_cold_start_s": {"synthesis": 172.7, "pack": 284.6,
+                                 "upload": 104.3, "note":
+                                 "PIPELINE_BENCH_r03.json same scale"},
+        }
+        print(json.dumps(results["restart_from_cache"], indent=2))
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.out}")
+        return 0
+
     # ---- synthesize canonical tables at scale ----
     T, M = args.points, args.blocks
     t0 = time.perf_counter()
@@ -223,54 +292,86 @@ def main() -> int:
     }
     print(f"policy at grant {grant}: {results['policy']}", flush=True)
 
-    # ---- pack (compact) + chunked upload of the resident store ----
+    # ---- pack (compact) + chunked upload of the resident store(s) ----
+    from pointseg.data.device import DeviceBlockStore, _write_pack_cache
+
     before = hbm_used(dev)
-    if args.layout == "compact":
+    stores: dict = {}
+    if args.layout in ("compact", "both"):
         t0 = time.perf_counter()
         packed, centers = pack_block_table(pts, labels, counts)
         results["pack_s"] = round(time.perf_counter() - t0, 1)
-        del pts, labels  # free ~10 GB host RAM
+        if args.write_pack_cache:
+            t0 = time.perf_counter()
+            _write_pack_cache(args.write_pack_cache,
+                              f"synth-{args.points}-{args.blocks}",
+                              packed, centers, counts)
+            results["pack_cache_write_s"] = round(
+                time.perf_counter() - t0, 1)
+            print(f"pack cache written to {args.write_pack_cache} in "
+                  f"{results['pack_cache_write_s']}s", flush=True)
+        if args.layout == "compact":
+            del pts, labels  # free ~10 GB host RAM
         gb = packed.nbytes / 1e9
         t0 = time.perf_counter()
         dpacked = retry_alloc(lambda: upload_flat(packed))
         sync(dpacked)
         up_s = time.perf_counter() - t0
-        store = CompactDeviceStore.from_packed(dpacked, centers, counts)
+        stores["compact"] = CompactDeviceStore.from_packed(
+            dpacked, centers, counts)
         del packed
-    else:
-        from pointseg.data.device import DeviceBlockStore
+        results["compact_upload"] = {
+            "upload_s": round(up_s, 1), "upload_gbps": round(gb / up_s, 3)}
+        print(f"compact upload {up_s:.1f}s ({gb / up_s:.2f} GB/s)",
+              flush=True)
+    if args.layout in ("flat", "both"):
+        try:
+            gb = (pts.nbytes + labels.nbytes) / 1e9
+            t0 = time.perf_counter()
+            dpts = retry_alloc(
+                lambda: upload_flat(pts),
+                tries=3 if args.layout == "both" else 10)
+            dlab = retry_alloc(lambda: upload_flat(labels))
+            sync(dpts)
+            up_s = time.perf_counter() - t0
+            stores["flat"] = DeviceBlockStore(dpts, dlab, counts)
+            results["flat_upload"] = {
+                "upload_s": round(up_s, 1),
+                "upload_gbps": round(gb / up_s, 3)}
+            print(f"flat upload {up_s:.1f}s ({gb / up_s:.2f} GB/s)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — record OOM, keep compact
+            from pointseg.runtime import is_oom_error
 
-        gb = (pts.nbytes + labels.nbytes) / 1e9
-        t0 = time.perf_counter()
-        dpts = retry_alloc(lambda: upload_flat(pts))
-        dlab = retry_alloc(lambda: upload_flat(labels))
-        sync(dpts)
-        up_s = time.perf_counter() - t0
-        store = DeviceBlockStore(dpts, dlab, counts)
+            if args.layout != "both" or not is_oom_error(e):
+                raise
+            results["flat_upload"] = {"oom": True,
+                                      "error": str(e)[:300]}
+            print("flat upload OOM'd; A/B degraded to compact-only",
+                  flush=True)
         del pts, labels
     after = hbm_used(dev)
     results.update({
-        "upload_s": round(up_s, 1),
-        "upload_gbps": round(gb / up_s, 3),
         "hbm_in_use_after_upload": after,
-        "store_nbytes": store.nbytes,
+        "store_nbytes": {k: s.nbytes for k, s in stores.items()},
         "store_layout": args.layout,
     })
-    print(f"upload {up_s:.1f}s ({gb / up_s:.2f} GB/s); "
-          f"hbm {before} -> {after}", flush=True)
+    print(f"hbm {before} -> {after}", flush=True)
 
     # ---- PointNet++ bf16 training through the device loader ----
+    # One pure-step baseline, then the sampled pipeline per store:
+    # same session, same grant, same executable — the flat-vs-compact
+    # sampler-overhead A/B (VERDICT r03 weak #5).
     B, N = 8, 4096
     key = jax.random.key(0)
     model = create_model("PointNet++", num_classes=14, dtype=jnp.bfloat16)
     step = jax.jit(state_mod.train_step.__wrapped__, donate_argnums=(0,))
     tstate = create_train_state(model, jnp.zeros((B, N, 9)), 1e-3)
 
-    loader = DeviceEpochLoader(store, B, N, seed=0)
-    it = iter(loader)
-    batch = next(it)
+    first = next(iter(stores.values()))
+    batch = next(iter(DeviceEpochLoader(first, B, N, seed=0)))
     tstate, m = step(tstate, *batch, key)
-    sync(m["loss"])  # compile both sampler and step
+    sync(m["loss"])  # compile the step
 
     # pure step on a fixed batch
     fixed = batch
@@ -282,29 +383,46 @@ def main() -> int:
         sync(m["loss"])
         chunks.append((time.perf_counter() - t0) / args.steps)
     pure = float(np.median(chunks))
+    results["pointnetpp_bf16"] = {"pure_step_ms": round(pure * 1e3, 2)}
+    print(f"PointNet++ bf16 pure step {pure * 1e3:.2f} ms", flush=True)
 
-    # sampled pipeline (device sampler feeding the step)
-    chunks = []
-    for _ in range(3):
-        it = iter(loader)
-        t0 = time.perf_counter()
-        n_done = 0
-        for batch in it:
-            tstate, m = step(tstate, *batch, key)
-            n_done += 1
-            if n_done >= args.steps:
-                break
-        sync(m["loss"])
-        chunks.append((time.perf_counter() - t0) / n_done)
-    piped = float(np.median(chunks))
-    results["pointnetpp_bf16"] = {
-        "pure_step_ms": round(pure * 1e3, 2),
-        "device_pipeline_ms": round(piped * 1e3, 2),
-        "pipeline_efficiency": round(pure / piped, 3),
-        "points_per_sec": round(B * N / piped, 1),
-    }
-    print(f"PointNet++ bf16: pure {pure * 1e3:.2f} ms, piped "
-          f"{piped * 1e3:.2f} ms", flush=True)
+    # sampled pipeline (device sampler feeding the step), per store
+    for tag, store in stores.items():
+        loader = DeviceEpochLoader(store, B, N, seed=0)
+        batch = next(iter(loader))
+        tstate, m = step(tstate, *batch, key)
+        sync(m["loss"])  # compile this store's sampler
+        chunks = []
+        for _ in range(3):
+            it = iter(loader)
+            t0 = time.perf_counter()
+            n_done = 0
+            for batch in it:
+                tstate, m = step(tstate, *batch, key)
+                n_done += 1
+                if n_done >= args.steps:
+                    break
+            sync(m["loss"])
+            chunks.append((time.perf_counter() - t0) / n_done)
+        piped = float(np.median(chunks))
+        results["pointnetpp_bf16"][tag] = {
+            "device_pipeline_ms": round(piped * 1e3, 2),
+            "pipeline_efficiency": round(pure / piped, 3),
+            "points_per_sec": round(B * N / piped, 1),
+        }
+        print(f"PointNet++ bf16 [{tag}]: piped {piped * 1e3:.2f} ms "
+              f"(eff {pure / piped:.3f})", flush=True)
+    if {"flat", "compact"} <= stores.keys():
+        eff_f = results["pointnetpp_bf16"]["flat"]["pipeline_efficiency"]
+        eff_c = results["pointnetpp_bf16"]["compact"]["pipeline_efficiency"]
+        results["pointnetpp_bf16"]["ab"] = {
+            "flat_minus_compact_efficiency": round(eff_f - eff_c, 3),
+            "note": "positive = packed reconstruction costs that "
+                    "fraction of a step; ~0 = r03's 0.951-vs-0.983 "
+                    "gap was grant-day noise",
+        }
+
+    store = stores.get("compact") or stores["flat"]
 
     # ---- DGCNN worst case next to the resident store ----
     if args.dgcnn:

@@ -203,7 +203,8 @@ def parse_xspace(path: str) -> list[Plane]:
 
 
 def op_totals(planes: list[Plane], plane_filter: str = "TPU",
-              line_filter: str | None = None) -> dict[str, dict]:
+              line_filter: str | None = None,
+              exact_line: str | None = None) -> dict[str, dict]:
     """Aggregate event durations (ms) by op name over matching planes.
 
     Caveat: async ops (slice-start / copy-start) report their whole
@@ -218,6 +219,11 @@ def op_totals(planes: list[Plane], plane_filter: str = "TPU",
             continue
         for ln in p.lines:
             if line_filter is not None and line_filter.lower() not in ln.name.lower():
+                continue
+            # "XLA Ops" substring-matches "Async XLA Ops" too — use
+            # exact_line to take ONE hardware queue (async windows on
+            # the other line overlap it and would double-count)
+            if exact_line is not None and ln.name != exact_line:
                 continue
             for ev in ln.events:
                 rec = totals.setdefault(
