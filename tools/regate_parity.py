@@ -79,23 +79,84 @@ CANONICAL = {
 }
 
 
+def regate_strict(path: str, tol: float, whole_tol: float) -> dict:
+    """VERDICT r03 weak #2: the r03 gate could pass via seed-spread
+    inflation (allowance = tol + spread grows with noise — and max-min
+    spread only GROWS with more seeds, so 'add seeds' can never tighten
+    that gate). The strict r04 criterion separates RESOLUTION from PASS
+    on a standard-error basis:
+      - gap    = mean(pointseg) - mean(torch) over the per-seed runs;
+      - se_gap = sqrt(var_ps/n + var_torch/n)  (ddof=1);
+      - pass   : n >= 5 AND the one-sided 95% lower confidence bound
+                 of the gap (gap - 1.645*se_gap) >= -tol.
+    Seed noise ONLY WIDENS the bound — it can push a pass to a fail
+    but never a fail to a pass, which is exactly the spread-proofness
+    the r03 gate lacked."""
+    import numpy as np
+
+    r = regate(path, tol, whole_tol)
+    with open(path) as f:
+        d = json.load(f)
+
+    def se_gap(regime):
+        ps = np.asarray(d["summary"]["pointseg"][regime]["miou"]["runs"])
+        th = np.asarray(
+            d["summary"]["reference_torch"][regime]["miou"]["runs"])
+        n = min(len(ps), len(th))
+        if n < 2:
+            return float("inf"), n
+        return float(np.sqrt(ps.var(ddof=1) / len(ps)
+                             + th.var(ddof=1) / len(th))), n
+
+    se_s, n = se_gap("sampled")
+    se_w, _ = se_gap("whole")
+    Z = 1.645  # one-sided 95%
+    lcb_s = r["gap_sampled_miou"] - Z * se_s
+    lcb_w = r["gap_whole_miou"] - Z * se_w
+    ok_s = n >= 5 and lcb_s >= -tol
+    ok_w = n >= 5 and lcb_w >= -whole_tol
+    r.update({
+        "strict": True,
+        "se_gap_sampled": round(se_s, 4), "se_gap_whole": round(se_w, 4),
+        "lcb_sampled": round(lcb_s, 4), "lcb_whole": round(lcb_w, 4),
+        "pass_sampled": bool(ok_s),
+        "pass_whole": bool(ok_w),
+        "pass": bool(ok_s and ok_w),
+    })
+    return r
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tol", type=float, default=0.05)
     ap.add_argument("--whole-tol", type=float, default=0.05)
+    ap.add_argument("--strict", action="store_true",
+                    help="r04 spread-proof criterion: pass = gap >= "
+                         "-tol with NO spread allowance; spread > tol/2 "
+                         "or <5 seeds makes the row inconclusive (fail)")
+    ap.add_argument("--canonical", nargs="*", default=None,
+                    help="override the canonical artifact set")
     ap.add_argument("--out", default="TRAIN_PARITY_GATED_r03.json")
     ap.add_argument("artifacts", nargs="*",
                     default=sorted(glob.glob("TRAIN_PARITY_[a-z]*.json")))
     args = ap.parse_args()
+    if args.canonical is not None:
+        CANONICAL.clear()
+        CANONICAL.update(os.path.basename(c) for c in args.canonical)
 
-    rows = [regate(p, args.tol, args.whole_tol) for p in args.artifacts]
+    fn = regate_strict if args.strict else regate
+    rows = [fn(p, args.tol, args.whole_tol) for p in args.artifacts]
     for r in rows:
         r["canonical"] = os.path.basename(r["artifact"]) in CANONICAL
     canonical = [r for r in rows if r["canonical"]]
     result = {
-        "criterion": "one-sided parity-or-better per regime: "
-                     "gap_miou >= -(tol + seed_spread); "
-                     "train_parity.py:391-399 arithmetic",
+        "criterion": ("STRICT (r04, pre-registered): pass = >=5 seeds "
+                      "and one-sided 95% LCB of the mIoU gap "
+                      "(gap - 1.645*se) >= -tol; no spread allowance"
+                      if args.strict else
+                      "one-sided parity-or-better per regime: "
+                      "gap_miou >= -(tol + seed_spread); "
+                      "train_parity.py:391-399 arithmetic"),
         "tol": args.tol,
         "whole_tol": args.whole_tol,
         "rows": rows,
@@ -106,6 +167,16 @@ def main() -> int:
         json.dump(result, f, indent=2)
     for r in rows:
         tag = "CANON" if r["canonical"] else "diag "
+        if args.strict:
+            print(f"{tag} {r['model']:<28} "
+                  f"{os.path.basename(r['artifact']):<44} "
+                  f"sampled gap {r['gap_sampled_miou']:+.4f} "
+                  f"lcb {r['lcb_sampled']:+.4f} "
+                  f"{'PASS' if r['pass_sampled'] else 'FAIL'}  "
+                  f"whole gap {r['gap_whole_miou']:+.4f} "
+                  f"lcb {r['lcb_whole']:+.4f} "
+                  f"{'PASS' if r['pass_whole'] else 'FAIL'}")
+            continue
         print(f"{tag} {r['model']:<28} {os.path.basename(r['artifact']):<44} "
               f"sampled {r['gap_sampled_miou']:+.4f}/{-r['allowance_sampled']:.4f} "
               f"{'PASS' if r['pass_sampled'] else 'FAIL'}  "
