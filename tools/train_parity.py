@@ -116,11 +116,48 @@ def eval_metrics(logits_list, labels_list, lengths_list, num_classes=14):
     return {"oa": correct / max(total, 1), "miou": miou}
 
 
+def patch_torch_repeat_fillers():
+    """Mechanism ablation (VERDICT r03 weak #2 alternative): replace the
+    reference ball query's backend-defined fillers (topk over +inf
+    returns arbitrary OUT-OF-RADIUS leftovers, common.py:59-61) with
+    pointseg's repeat-nearest-member semantics, leaving everything else
+    identical. If torch-with-repeat-fillers lands at pointseg's
+    whole-block score, the residual PointNeXt whole-block gap is the
+    filler-information artifact (the proven sampled-regime mechanism,
+    TRAIN_PARITY_pointnext_indexfiller.json), not a training defect."""
+    import models.utils.common as C
+    import torch
+
+    def group_repeat(centroid_coords, coords, features, r, K,
+                     normalize=False):
+        B, N, _ = features.shape
+        _, Cc, _ = centroid_coords.shape
+        pe = coords.unsqueeze(1).expand(B, Cc, N, 3)
+        ce = centroid_coords.unsqueeze(2).expand(B, Cc, N, 3)
+        d = ((pe - ce) ** 2).sum(dim=-1)
+        mask = d <= r ** 2
+        d = d.masked_fill(~mask, torch.inf)
+        _, idx = torch.topk(d, K, dim=-1, largest=False, sorted=True)
+        cnt = mask.sum(-1).clamp(max=K)              # in-ball slots
+        ar = torch.arange(K, device=idx.device).view(1, 1, K)
+        idx = torch.where(ar < cnt.unsqueeze(-1), idx,
+                          idx[..., :1].expand(B, Cc, K))
+        bi = torch.arange(B).view(B, 1, 1).expand(B, Cc, K)
+        gc = coords[bi, idx] - centroid_coords.view(B, Cc, 1, 3)
+        if normalize:
+            gc = gc / r
+        return torch.cat([gc, features[bi, idx]], dim=-1)
+
+    C.group = group_repeat
+
+
 def make_torch_model(args):
     sys.path.insert(0, REFERENCE)
     import torch
 
     torch.manual_seed(args.seed)
+    if getattr(args, "torch_repeat_fillers", False):
+        patch_torch_repeat_fillers()
     if args.model == "PointNet":
         from models.PointNet.PointNet import PointNetSeg as Ref
         return Ref(part_classes=14)
@@ -317,6 +354,12 @@ def main() -> int:
                     help="pointseg eval BN statistics; 'batch' measures "
                          "the test-time-adaptation mode (torch side "
                          "always uses running stats, its only mode)")
+    ap.add_argument("--torch-repeat-fillers", action="store_true",
+                    dest="torch_repeat_fillers",
+                    help="ABLATION: patch the torch reference's ball "
+                         "query to pointseg's repeat-nearest filler "
+                         "semantics (see patch_torch_repeat_fillers) — "
+                         "mechanism experiment, never canonical")
     ap.add_argument("--out", default="TRAIN_PARITY.json")
     args = ap.parse_args()
 
@@ -404,6 +447,8 @@ def main() -> int:
         "npoints": args.npoints,
         "same_init": args.same_init,
         "bn_stats": args.bn_stats,
+        "torch_repeat_fillers": bool(
+            getattr(args, "torch_repeat_fillers", False)),
         "train_seeds": seeds,
         "summary": summary,
         "pointseg_with_torch_weights": transfer,
