@@ -519,6 +519,55 @@ def upload_flat(
     return buf
 
 
+def flat_tables_from_compact(store, chunk_rows: int = 8_000_000):
+    """Reconstructs the flat f32 tables ON DEVICE from a resident
+    `CompactDeviceStore`: the (T, 9) ``[xyz, rgb, xyz - center]`` table
+    and the (T,) u8 labels, bit-identical to the host table the store
+    was packed from (xyz return via integer bitcast, rgb are exact
+    u8-valued converts, and rel re-runs the identical IEEE f32
+    ``xyz - center`` subtraction — the same exactness argument as
+    `_sample_batch_packed`, attested on chip in VERIFY_TPU_r03).
+
+    Exists for the relay memory model (CLAUDE.md round-3 findings):
+    client-visible device buffers freed in-process do NOT return to the
+    HBM grant until process exit, so a chunked HOST upload of the flat
+    table strands ~table-size bytes of dead staging chunks — uploading
+    compact (4.4 GB) and then flat (10.1 GB) can never fit a 15.5 GB
+    grant. Device-side unpack allocates exactly the two output tables
+    and nothing else. Used by tools/bench_fullscale.py ``--layout both``
+    (the same-session flat-vs-compact sampler A/B)."""
+    packed, centers, offsets, counts = store._tables
+    total = packed.shape[0]
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(6,))
+    def _fill(pbuf, lbuf, packed, centers, offsets, start, rows):
+        w = jax.lax.dynamic_slice_in_dim(packed, start, rows, 0)
+        xyz = jax.lax.bitcast_convert_type(w[:, :3], jnp.float32)
+        w3 = w[:, 3]
+        rgb = jnp.stack([(w3 >> 24) & 0xFF, (w3 >> 16) & 0xFF,
+                         (w3 >> 8) & 0xFF], axis=-1).astype(jnp.float32)
+        lab = (w3 & 0xFF).astype(jnp.uint8)
+        idx = start + jnp.arange(rows, dtype=jnp.int32)
+        blk = jnp.searchsorted(offsets, idx, side="right") - 1
+        ctr = jnp.take(centers, blk, axis=0)
+        pts = jnp.concatenate([xyz, rgb, xyz - ctr], axis=-1)
+        pbuf = jax.lax.dynamic_update_slice(pbuf, pts, (start, 0))
+        lbuf = jax.lax.dynamic_update_slice(lbuf, lab, (start,))
+        return pbuf, lbuf
+
+    pbuf = jnp.zeros((total, 9), jnp.float32)
+    lbuf = jnp.zeros((total,), jnp.uint8)
+    main = (total // chunk_rows) * chunk_rows
+    # two executables max (full chunk + tail), like upload_flat
+    for start in range(0, main, chunk_rows):
+        pbuf, lbuf = _fill(pbuf, lbuf, packed, centers, offsets,
+                           jnp.int32(start), chunk_rows)
+    if main < total:
+        pbuf, lbuf = _fill(pbuf, lbuf, packed, centers, offsets,
+                           jnp.int32(main), total - main)
+    return pbuf, lbuf
+
+
 def hbm_bytes_limit() -> int | None:
     """The accelerator's memory capacity, when the backend reports it."""
     try:

@@ -274,6 +274,32 @@ def test_compact_store_bit_identical_to_flat():
         np.testing.assert_array_equal(np.asarray(fl), np.asarray(cl))
 
 
+def test_flat_tables_from_compact_bit_exact():
+    """Device-side unpack of the packed table must reproduce the host
+    flat table bit-for-bit (both chunked and tail paths), so the
+    --layout both A/B's flat store is the SAME data without the chunked
+    host upload that strands staging in the relay grant."""
+    from pointseg.data.device import CompactDeviceStore, flat_tables_from_compact
+
+    pts, labs, counts = _canonical_blocks(num_blocks=7, seed=21)
+    compact = CompactDeviceStore(pts, labs, counts, num_classes=14)
+    # chunk_rows chosen to exercise >1 full chunk plus a ragged tail
+    dpts, dlab = flat_tables_from_compact(compact, chunk_rows=257)
+    np.testing.assert_array_equal(
+        np.asarray(dpts).view(np.uint32), pts.view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(dlab), labs)
+    # and the reconstructed tables drive a DeviceBlockStore identically
+    flat = DeviceBlockStore(np.asarray(dpts), np.asarray(dlab), counts,
+                            num_classes=14)
+    order = flat.epoch_order(jax.random.key(5), batch_size=4)
+    step, key = jnp.zeros((), jnp.int32), jax.random.key(9)
+    fp, fo, fl, _, _ = flat.sample(order, step, key, 4, 64)
+    cp, co, cl, _, _ = compact.sample(order, step, key, 4, 64)
+    np.testing.assert_array_equal(
+        np.asarray(fp).view(np.uint32), np.asarray(cp).view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(fo), np.asarray(co))
+
+
 def test_pack_rejects_non_canonical():
     from pointseg.data.device import NotPackableError, pack_block_table
 

@@ -146,7 +146,25 @@ def main() -> int:
                          "(10.1 GB at S3DIS scale) + step temporaries; "
                          "'both' builds BOTH in one session (VERDICT "
                          "r03 weak #5: the same-session flat-vs-compact "
-                         "sampler A/B — needs 53 B/point of grant).")
+                         "sampler A/B — needs 53 B/point of grant). In "
+                         "'both' mode the flat table is reconstructed "
+                         "ON DEVICE from the packed store "
+                         "(bit-identical, tests/test_device_data.py) — "
+                         "a chunked host upload of BOTH tables strands "
+                         "~table-size dead staging in the relay grant "
+                         "(in-process frees only land at process exit) "
+                         "and can never fit.")
+    ap.add_argument("--upload", choices=["chunked", "single"],
+                    default="chunked",
+                    help="Packed-table upload strategy. 'single' is one "
+                         "device_put (no staging chunks stranded in the "
+                         "grant — required headroom for --layout both); "
+                         "'chunked' is upload_flat's 16M-row streaming.")
+    ap.add_argument("--from-pack-cache", default=None, metavar="DIR",
+                    help="Load the packed table from this pack-cache "
+                         "dir (keyed synth-<T>-<M>) instead of "
+                         "synthesizing + packing — the full benchmark "
+                         "path minus the one-time host work.")
     ap.add_argument("--write-pack-cache", default=None, metavar="DIR",
                     help="Persist the packed table to this pack-cache "
                          "dir (keyed synth-<T>-<M>) for a later "
@@ -233,7 +251,11 @@ def main() -> int:
         read_s = time.perf_counter() - t0  # mmap open: metadata only
         gb = packed.nbytes / 1e9
         t0 = time.perf_counter()
-        dpacked = retry_alloc(lambda: upload_flat(packed))
+        if args.upload == "single":
+            dpacked = retry_alloc(
+                lambda: jax.device_put(np.ascontiguousarray(packed)))
+        else:
+            dpacked = retry_alloc(lambda: upload_flat(packed))
         sync(dpacked)
         upload_s = time.perf_counter() - t0
         store = CompactDeviceStore.from_packed(dpacked, centers, counts)
@@ -271,13 +293,32 @@ def main() -> int:
 
     # ---- synthesize canonical tables at scale ----
     T, M = args.points, args.blocks
-    t0 = time.perf_counter()
-    pts, labels, counts = synthesize_canonical(T, M)
-    results["host_synthesis_s"] = round(time.perf_counter() - t0, 1)
-    flat_bytes = pts.nbytes + labels.nbytes
+    pts = labels = counts = None
+    cached_packed = None
+    if args.from_pack_cache:
+        from pointseg.data.device import _read_pack_cache
+
+        t0 = time.perf_counter()
+        cached = _read_pack_cache(args.from_pack_cache, f"synth-{T}-{M}")
+        if cached is None:
+            print(json.dumps({"error": f"no pack cache for synth-{T}-{M} "
+                                       f"in {args.from_pack_cache}"}))
+            return 1
+        cached_packed, cached_centers, counts = cached
+        results["pack_cache_read_s"] = round(time.perf_counter() - t0, 2)
+        if args.layout == "flat":
+            print("--from-pack-cache provides only the packed table; "
+                  "use --layout compact/both", flush=True)
+            return 1
+    else:
+        t0 = time.perf_counter()
+        pts, labels, counts = synthesize_canonical(T, M)
+        results["host_synthesis_s"] = round(time.perf_counter() - t0, 1)
+    flat_bytes = T * 37  # (T, 9) f32 + (T,) u8
     results["flat_bytes"] = flat_bytes
-    print(f"synthesized {flat_bytes / 1e9:.1f} GB (flat) in "
-          f"{results['host_synthesis_s']}s", flush=True)
+    print(f"flat table {flat_bytes / 1e9:.1f} GB "
+          f"({'cache hit' if cached_packed is not None else 'synthesized in '
+              + str(results['host_synthesis_s']) + 's'})", flush=True)
 
     # ---- policy arithmetic at this grant ----
     workspace = 5 << 30  # DGCNN's measured worst case, device.py policy
@@ -298,57 +339,86 @@ def main() -> int:
     before = hbm_used(dev)
     stores: dict = {}
     if args.layout in ("compact", "both"):
-        t0 = time.perf_counter()
-        packed, centers = pack_block_table(pts, labels, counts)
-        results["pack_s"] = round(time.perf_counter() - t0, 1)
-        if args.write_pack_cache:
+        if cached_packed is not None:
+            packed, centers = cached_packed, cached_centers
+        else:
             t0 = time.perf_counter()
-            _write_pack_cache(args.write_pack_cache,
-                              f"synth-{args.points}-{args.blocks}",
-                              packed, centers, counts)
-            results["pack_cache_write_s"] = round(
-                time.perf_counter() - t0, 1)
-            print(f"pack cache written to {args.write_pack_cache} in "
-                  f"{results['pack_cache_write_s']}s", flush=True)
-        if args.layout == "compact":
-            del pts, labels  # free ~10 GB host RAM
+            packed, centers = pack_block_table(pts, labels, counts)
+            results["pack_s"] = round(time.perf_counter() - t0, 1)
+            if args.write_pack_cache:
+                t0 = time.perf_counter()
+                _write_pack_cache(args.write_pack_cache,
+                                  f"synth-{args.points}-{args.blocks}",
+                                  packed, centers, counts)
+                results["pack_cache_write_s"] = round(
+                    time.perf_counter() - t0, 1)
+                print(f"pack cache written to {args.write_pack_cache} in "
+                      f"{results['pack_cache_write_s']}s", flush=True)
+        if args.layout != "flat":
+            del pts, labels  # free ~10 GB host RAM ('both' unpacks on device)
         gb = packed.nbytes / 1e9
         t0 = time.perf_counter()
-        dpacked = retry_alloc(lambda: upload_flat(packed))
+        if args.upload == "single":
+            # one device_put: nothing stranded in the grant (in-process
+            # frees of upload_flat's staging chunks never land)
+            dpacked = retry_alloc(
+                lambda: jax.device_put(np.ascontiguousarray(packed)))
+        else:
+            dpacked = retry_alloc(lambda: upload_flat(packed))
         sync(dpacked)
         up_s = time.perf_counter() - t0
         stores["compact"] = CompactDeviceStore.from_packed(
             dpacked, centers, counts)
         del packed
         results["compact_upload"] = {
-            "upload_s": round(up_s, 1), "upload_gbps": round(gb / up_s, 3)}
-        print(f"compact upload {up_s:.1f}s ({gb / up_s:.2f} GB/s)",
-              flush=True)
-    if args.layout in ("flat", "both"):
+            "upload_s": round(up_s, 1), "upload_gbps": round(gb / up_s, 3),
+            "strategy": args.upload}
+        print(f"compact upload [{args.upload}] {up_s:.1f}s "
+              f"({gb / up_s:.2f} GB/s)", flush=True)
+    if args.layout == "both":
+        # flat table reconstructed ON DEVICE from the packed store —
+        # bit-identical to the host table, zero host transfer, zero
+        # staging stranded in the grant.
+        from pointseg.data.device import flat_tables_from_compact
+
         try:
-            gb = (pts.nbytes + labels.nbytes) / 1e9
+            gb = flat_bytes / 1e9
             t0 = time.perf_counter()
-            dpts = retry_alloc(
-                lambda: upload_flat(pts),
-                tries=3 if args.layout == "both" else 10)
-            dlab = retry_alloc(lambda: upload_flat(labels))
+            dpts, dlab = flat_tables_from_compact(stores["compact"])
             sync(dpts)
             up_s = time.perf_counter() - t0
             stores["flat"] = DeviceBlockStore(dpts, dlab, counts)
-            results["flat_upload"] = {
-                "upload_s": round(up_s, 1),
-                "upload_gbps": round(gb / up_s, 3)}
-            print(f"flat upload {up_s:.1f}s ({gb / up_s:.2f} GB/s)",
-                  flush=True)
+            results["flat_build"] = {
+                "device_unpack_s": round(up_s, 1),
+                "effective_gbps": round(gb / up_s, 3),
+                "source": "device_unpack_of_packed_store"}
+            print(f"flat built on device in {up_s:.1f}s "
+                  f"({gb / up_s:.2f} GB/s)", flush=True)
         except Exception as e:  # noqa: BLE001 — record OOM, keep compact
             from pointseg.runtime import is_oom_error
 
-            if args.layout != "both" or not is_oom_error(e):
+            if not is_oom_error(e):
                 raise
-            results["flat_upload"] = {"oom": True,
-                                      "error": str(e)[:300]}
-            print("flat upload OOM'd; A/B degraded to compact-only",
-                  flush=True)
+            # grant is now exhausted for this process: record and run
+            # the compact-only path best-effort, writing results early
+            results["flat_build"] = {"oom": True, "error": str(e)[:300]}
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+            print("flat device unpack OOM'd; A/B degraded to "
+                  "compact-only (partial artifact written)", flush=True)
+    elif args.layout == "flat":
+        gb = (pts.nbytes + labels.nbytes) / 1e9
+        t0 = time.perf_counter()
+        dpts = retry_alloc(lambda: upload_flat(pts))
+        dlab = retry_alloc(lambda: upload_flat(labels))
+        sync(dpts)
+        up_s = time.perf_counter() - t0
+        stores["flat"] = DeviceBlockStore(dpts, dlab, counts)
+        results["flat_upload"] = {
+            "upload_s": round(up_s, 1),
+            "upload_gbps": round(gb / up_s, 3)}
+        print(f"flat upload {up_s:.1f}s ({gb / up_s:.2f} GB/s)",
+              flush=True)
         del pts, labels
     after = hbm_used(dev)
     results.update({
