@@ -427,6 +427,10 @@ def main() -> int:
         "store_layout": args.layout,
     })
     print(f"hbm {before} -> {after}", flush=True)
+    # checkpoint the artifact: if a later step OOMs the exhausted-grant
+    # process, the store-build phase numbers survive
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
 
     # ---- PointNet++ bf16 training through the device loader ----
     # One pure-step baseline, then the sampled pipeline per store:
