@@ -555,6 +555,10 @@ def flat_tables_from_compact(store, chunk_rows: int = 8_000_000):
         lbuf = jax.lax.dynamic_update_slice(lbuf, lab, (start,))
         return pbuf, lbuf
 
+    # big buffer first: when the grant is short, the OOM lands on pbuf
+    # with nothing else allocated, so callers can retry without
+    # stranding a dropped handle (relay frees only land at process
+    # exit); lbuf is a 2.7% rider that fits whenever pbuf does
     pbuf = jnp.zeros((total, 9), jnp.float32)
     lbuf = jnp.zeros((total,), jnp.uint8)
     main = (total // chunk_rows) * chunk_rows

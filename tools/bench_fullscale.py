@@ -384,9 +384,17 @@ def main() -> int:
         try:
             gb = flat_bytes / 1e9
             t0 = time.perf_counter()
-            dpts, dlab = flat_tables_from_compact(stores["compact"])
+            # long-cadence retry: the packed upload's transfer staging
+            # holds ~table-size grant for a while after the put (both
+            # chunked and single-shot, measured 2026-08-19) — this also
+            # measures whether in-process frees EVER land on the relay
+            dpts, dlab = retry_alloc(
+                lambda: flat_tables_from_compact(
+                    stores["compact"], chunk_rows=4_000_000),
+                tries=12, wait_s=75.0)
             sync(dpts)
             up_s = time.perf_counter() - t0
+            results["flat_unpack_wait_s"] = round(up_s, 1)
             stores["flat"] = DeviceBlockStore(dpts, dlab, counts)
             results["flat_build"] = {
                 "device_unpack_s": round(up_s, 1),
