@@ -64,18 +64,18 @@ def regate(path: str, tol: float, whole_tol: float) -> dict:
     }
 
 
-# one adjudication artifact per model: the longest-horizon run under
-# DEFAULT semantics (repeat fillers, running BN stats, f32 training).
-# Everything else is a mechanism/ablation diagnostic, listed but not
-# gated: _indexfiller deliberately runs the deviant filler mode (its
-# whole-regime collapse IS the documented mechanism result), _bnbatch
-# and _bf16 are ablations, and the short dgcnn/pointnext runs are
-# superseded by their _long counterparts (same config, 3.6x steps).
+# one adjudication artifact per model: the PRE-REGISTERED horizon
+# (25 epochs, VERDICT r03 item 3) at >=5 seeds under DEFAULT semantics
+# (repeat fillers, running BN stats, f32 training). Everything else is
+# a mechanism/ablation diagnostic, listed but not gated: _indexfiller
+# and _repeatfiller deliberately run deviant filler modes (their
+# results ARE the documented mechanism proofs), _bnbatch and _bf16 are
+# ablations, and 3-seed/short runs are superseded by the 5-seed merges.
 CANONICAL = {
-    "TRAIN_PARITY_pointnet.json",
-    "TRAIN_PARITY_pointnetpp_long.json",
-    "TRAIN_PARITY_pointnext_long.json",
-    "TRAIN_PARITY_dgcnn_long.json",
+    "TRAIN_PARITY_pointnet_long.json",
+    "TRAIN_PARITY_pointnetpp_long_5seed.json",
+    "TRAIN_PARITY_pointnext_long_5seed.json",
+    "TRAIN_PARITY_dgcnn_long_5seed.json",
 }
 
 
@@ -126,6 +126,37 @@ def regate_strict(path: str, tol: float, whole_tol: float) -> dict:
     return r
 
 
+# Pre-registered mechanism adjudications (VERDICT r03 item 3 allowed a
+# strict-gate failure to be resolved by "a mechanism artifact ... as
+# crisply as the index-filler proof"). A canonical row that fails the
+# strict LCB is ADJUDICATED (not excused) when its residual gap is
+# pinned to a measured, documented semantic deviation rather than a
+# defect. Keyed by canonical artifact basename.
+ADJUDICATIONS = {
+    "TRAIN_PARITY_pointnext_long_5seed.json": {
+        "mechanism": "ball-query filler semantics (deliberate deviation)",
+        "evidence": [
+            "TRAIN_PARITY_pointnext_repeatfiller.json",
+            "TRAIN_PARITY_pointnext_indexfiller.json",
+        ],
+        "summary": (
+            "2x2 over filler semantics: torch patched to OUR repeat-nearest "
+            "fillers COLLAPSES (sampled mIoU 0.16 vs pointseg 0.69, identical "
+            "data/seeds; its weights score 0.24 through our forward), and "
+            "with torch's out-of-radius index fillers pointseg BEATS torch "
+            "+0.09 sampled. Matched semantics -> pointseg wins both cells; "
+            "the canonical gap exists only cross-semantics, because on "
+            "synthetic geometry-derived labels torch's arbitrary far-point "
+            "filler features are genuinely informative (and its own "
+            "clean-filler training lands in the BN collapse basin). Repeat "
+            "fillers remain the default: index fillers collapse under "
+            "density shift (whole mIoU 0.363 vs repeat 0.635). See "
+            "pointseg/ops/ballquery.py docstring and docs/ROUND4.md."
+        ),
+    },
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tol", type=float, default=0.05)
@@ -147,7 +178,12 @@ def main() -> int:
     fn = regate_strict if args.strict else regate
     rows = [fn(p, args.tol, args.whole_tol) for p in args.artifacts]
     for r in rows:
-        r["canonical"] = os.path.basename(r["artifact"]) in CANONICAL
+        base = os.path.basename(r["artifact"])
+        r["canonical"] = base in CANONICAL
+        if args.strict and r["canonical"] and not r["pass"]:
+            adj = ADJUDICATIONS.get(base)
+            if adj is not None:
+                r["adjudication"] = adj
     canonical = [r for r in rows if r["canonical"]]
     result = {
         "criterion": ("STRICT (r04, pre-registered): pass = >=5 seeds "
@@ -163,6 +199,10 @@ def main() -> int:
         "canonical_artifacts": sorted(CANONICAL),
         "all_pass": all(r["pass"] for r in canonical) and len(canonical) == 4,
     }
+    if args.strict:
+        result["all_pass_or_adjudicated"] = (
+            len(canonical) == 4
+            and all(r["pass"] or "adjudication" in r for r in canonical))
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     for r in rows:
