@@ -77,7 +77,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "store here, keyed by a dataset fingerprint. A "
                         "hit skips the raw block load and the pack "
                         "(~285 s host work at full S3DIS scale), so "
-                        "restarts go straight to the upload.")
+                        "restarts go straight to the upload. Implies "
+                        "compact-first in auto layout (the compact "
+                        "store is what gets cached; it samples "
+                        "bit-identically at equal throughput).")
     p.add_argument("--scan-steps", type=int, default=1,
                    help="With --device-data: fuse K (sample -> train "
                         "step) iterations into one lax.scan program "
@@ -125,8 +128,11 @@ def cmd_train(args) -> int:
 
     if args.synthetic and not os.path.exists(args.data_dir):
         print(f"Generating synthetic block dataset at {args.data_dir} ...")
+        # rgb_u8 matches real S3DIS (integer 0-255 colors) and keeps the
+        # dataset packable for the compact device store / --pack-cache
         synthetic.make_block_dataset(
-            args.data_dir, rooms_per_area=2, points_per_room=20000, seed=args.seed
+            args.data_dir, rooms_per_area=2, points_per_room=20000,
+            seed=args.seed, rgb_u8=True,
         )
 
     run_name = os.path.join(args.model, datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))

@@ -158,28 +158,31 @@ def dataset_fingerprint(dataset) -> str | None:
     return h.hexdigest()[:24]
 
 
-def load_packed_cached(dataset, cache_dir: str, num_workers: int = 8):
+def load_packed_cached(dataset, cache_dir: str, num_workers: int = 8,
+                       raw=None):
     """(packed, centers, counts) for `dataset`, served from an on-disk
     cache when the dataset fingerprint matches; packs (and writes the
-    cache) otherwise.
+    cache) otherwise. The single miss-path implementation — the
+    `device_store_or_host_loader` compact stage calls this too (with
+    its already-loaded `raw` blocks), so cache semantics live in one
+    place.
 
     Full-S3DIS pack is ~285 s of host work per process plus the raw
     block load before it (PIPELINE_BENCH_r03.json cold start ≈ 9.5 min
     to step 1); the cache pays it once ever. Hits return the packed
     table MEMORY-MAPPED, so restart cost is metadata + the chunked
-    upload alone (VERDICT r03 item 6). Writes are atomic (tmp + rename)
-    so a killed process never leaves a half cache behind."""
-    import json
-    import os
-
+    upload alone (VERDICT r03 item 6). Writes are atomic (tmp + rename,
+    meta invalidated first / re-written last) so a killed process never
+    leaves a usable half cache behind."""
     fp = dataset_fingerprint(dataset)
     cached = _read_pack_cache(cache_dir, fp)
     if cached is not None:
         return cached
 
-    pts, labs, counts = _load_raw_blocks(dataset, num_workers)
-    counts = np.asarray(counts, np.int32)
-    packed, centers = pack_block_table(pts, labs, counts)
+    if raw is None:
+        raw = _load_raw_blocks(dataset, num_workers)
+    counts = np.asarray(raw[2], np.int32)
+    packed, centers = pack_block_table(raw[0], raw[1], counts)
     if fp is not None:
         _write_pack_cache(cache_dir, fp, packed, centers, counts)
     return packed, centers, counts
@@ -189,7 +192,14 @@ _PACK_CACHE_NAMES = ("packed.npy", "centers.npy", "counts.npy")
 
 
 def _read_pack_cache(cache_dir: str, fp: str | None):
-    """Cache hit -> (packed mmap, centers, counts); None otherwise."""
+    """Cache hit -> (packed mmap, centers, counts); None otherwise.
+
+    Validates meta.json's recorded rows/blocks against the arrays
+    actually on disk (and counts.sum() against rows): a crash while
+    OVERWRITING a previously valid cache can leave a fingerprint-
+    matching meta next to a mix of old and new arrays, and serving
+    that silently trains on wrong data (JAX clamps the out-of-range
+    gathers a mismatched counts/packed pair produces — no error)."""
     import json
     import os
 
@@ -198,10 +208,10 @@ def _read_pack_cache(cache_dir: str, fp: str | None):
         return None
     try:
         with open(meta_p) as f:
-            cached_fp = json.load(f).get("fingerprint")
+            meta = json.load(f)
     except (OSError, ValueError):
         return None
-    if cached_fp != fp or not all(
+    if meta.get("fingerprint") != fp or not all(
         os.path.exists(os.path.join(cache_dir, n)) for n in _PACK_CACHE_NAMES
     ):
         return None
@@ -209,16 +219,26 @@ def _read_pack_cache(cache_dir: str, fp: str | None):
                      mmap_mode="r")
     centers = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[1]))
     counts = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[2]))
+    rows, blocks = meta.get("rows"), meta.get("blocks")
+    if (packed.shape[0] != rows or counts.shape[0] != blocks
+            or centers.shape[0] != blocks or int(counts.sum()) != rows):
+        return None
     return packed, centers, counts
 
 
 def _write_pack_cache(cache_dir, fp, packed, centers, counts) -> None:
     """Atomic (tmp + rename) so a killed process never leaves a half
-    cache; meta.json lands last, making partial writes invisible."""
+    cache. meta.json is REMOVED first (a crash mid-overwrite of a valid
+    cache must invalidate it, not leave stale meta pointing at mixed
+    arrays) and lands last, making partial writes invisible; the read
+    path additionally cross-checks meta's rows/blocks vs the arrays."""
+    import contextlib
     import json
     import os
 
     os.makedirs(cache_dir, exist_ok=True)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(cache_dir, "meta.json"))
     pid = os.getpid()
     for name, arr in zip(_PACK_CACHE_NAMES, (packed, centers, counts)):
         # np.save appends .npy to extensionless paths — keep it
@@ -620,6 +640,10 @@ def device_store_or_host_loader(
     the dataset fingerprint (VERDICT r03 item 6): a hit skips the raw
     block load AND the ~285 s full-scale pack — restart cost becomes
     metadata + the chunked upload; a miss packs once and writes it.
+    Setting it also opts auto mode into COMPACT-FIRST (see `order`
+    below): only the compact stage packs, so flat-first would leave the
+    cache permanently unwritten on sessions where flat fits. A
+    non-packable dataset (float rgb) still falls back flat -> host.
 
     Returns (loader, mode) with mode in {"device", "compact", "host"}.
     """
@@ -664,9 +688,23 @@ def device_store_or_host_loader(
         "flat": (DeviceBlockStore, store_bytes_estimate, "device"),
         "compact": (CompactDeviceStore, compact_estimate, "compact"),
     }
-    order = (("flat", "compact") if layout == "auto"
+    # Requesting a pack cache opts auto mode into COMPACT-FIRST: on a
+    # hit the cache skips the raw block load + ~285 s full-scale pack
+    # entirely, and on a miss only the compact stage packs (and thus
+    # writes the cache) — flat-first would leave `pack_cache` inert
+    # forever on sessions where flat fits, re-paying the raw load the
+    # flag promises to skip. Compact is the right store to prefer
+    # anyway: equal-throughput (AB_FLAT_COMPACT_r04.json), bit-identical
+    # sampling, 2.3x fewer uploaded bytes.
+    order = ((("compact", "flat") if pack_cache is not None
+              else ("flat", "compact")) if layout == "auto"
              else (layout,) if layout in stages else ())
     reasons: list[str] = []
+    if layout == "auto" and pack_cache is not None:
+        reasons.append(
+            "pack-cache " + ("hit" if cached is not None else "miss")
+            + ": compact preferred over flat (equal-throughput, "
+              "AB_FLAT_COMPACT_r04)")
     for name in order:
         cls, est, mode = stages[name]
         if layout == "auto" and not fits(est):
@@ -688,12 +726,8 @@ def device_store_or_host_loader(
                                 f"{name}: over budget (measured "
                                 f"{actual_estimate(name) / 1e9:.2f} GB)")
                             continue
-                    counts_arr = np.asarray(raw[2], np.int32)
-                    packed, centers = pack_block_table(
-                        raw[0], raw[1], counts_arr)
-                    if fp_key is not None:
-                        _write_pack_cache(pack_cache, fp_key, packed,
-                                          centers, counts_arr)
+                    packed, centers, counts_arr = load_packed_cached(
+                        dataset, pack_cache, num_workers, raw=raw)
                 else:
                     packed, centers, counts_arr = cached
                 # big tables stream in row chunks (one giant relay

@@ -543,28 +543,33 @@ def test_pack_cache_hit_skips_raw_load(tmp_path, monkeypatch):
 
 
 def test_pack_cache_auto_mode_skips_flat_budget(tmp_path):
-    """With a cache hit in auto mode, the flat-store fit check must be
-    answerable from the cache metadata (no raw load), so an over-budget
-    flat stage is skipped straight to the cached compact store."""
-    from pointseg.data.device import device_store_or_host_loader
+    """A pack-cache hit in auto mode must go straight to the cached
+    compact store WITHOUT a raw block load — even when flat would fit —
+    because the hit is the whole point of the cache (skipping the raw
+    load + pack), compact samples bit-identically, and the sampler is
+    equal-throughput (AB_FLAT_COMPACT_r04.json)."""
+    import pointseg.data.device as dev
 
     d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=2,
                            points_per_room=3000, seed=1, rgb_u8=True)
     ds = BlockDataset(d, {1}, sampling=None)
     cache = str(tmp_path / "pack_cache")
-    total = sum(ds[i][0].shape[0] for i in range(len(ds)))
-    flat_bytes = total * 37
 
     # warm the cache (forced compact, no budget)
-    device_store_or_host_loader(ds, batch_size=2, npoints=128,
-                                num_classes=14, layout="compact",
-                                pack_cache=cache)
-    loader, mode = device_store_or_host_loader(
-        ds, batch_size=2, npoints=128, num_classes=14, seed=0,
-        hbm_limit=flat_bytes, model_workspace_bytes=flat_bytes // 2,
-        pack_cache=cache)
+    dev.device_store_or_host_loader(ds, batch_size=2, npoints=128,
+                                    num_classes=14, layout="compact",
+                                    pack_cache=cache)
+    # auto mode, generous budget (flat WOULD fit), cache hit: compact is
+    # chosen and the raw block files are never touched
+    import unittest.mock as mock
+    with mock.patch.object(dev, "_load_raw_blocks",
+                           side_effect=AssertionError(
+                               "cache hit must not load raw blocks")):
+        loader, mode = dev.device_store_or_host_loader(
+            ds, batch_size=2, npoints=128, num_classes=14, seed=0,
+            pack_cache=cache)
     assert mode == "compact"
-    assert "flat: over budget (measured" in loader.policy_reason
+    assert "pack-cache hit" in loader.policy_reason
 
 
 def test_load_packed_cached_roundtrip(tmp_path):
@@ -581,6 +586,59 @@ def test_load_packed_cached_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_pack_cache_rejects_mixed_arrays(tmp_path):
+    """Integrity check: a crash mid-OVERWRITE of a previously valid
+    cache can leave meta.json (old fingerprint, old rows) next to a
+    replaced packed.npy from a DIFFERENT dataset. Serving that mix
+    silently trains on wrong data (JAX clamps the out-of-range gathers
+    a mismatched counts/packed pair produces), so the read path must
+    treat any meta-vs-array shape mismatch as a miss. The writer also
+    removes meta.json FIRST, so a crash between array replacements
+    leaves no fingerprint-matching meta at all."""
+    import json
+    import os
+
+    import pointseg.data.device as dev
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=1,
+                           points_per_room=2500, seed=2, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+    cache = str(tmp_path / "c")
+    dev.load_packed_cached(ds, cache)
+    fp = dev.dataset_fingerprint(ds)
+    assert dev._read_pack_cache(cache, fp) is not None
+
+    # simulate the torn overwrite: packed.npy swapped for a different
+    # dataset's (row count differs), meta/centers/counts still the old set
+    packed = np.load(os.path.join(cache, "packed.npy"))
+    np.save(os.path.join(cache, "packed.npy"), packed[:-7])
+    assert dev._read_pack_cache(cache, fp) is None
+
+    # restore rows but corrupt counts<->rows consistency
+    np.save(os.path.join(cache, "packed.npy"), packed)
+    assert dev._read_pack_cache(cache, fp) is not None
+    counts = np.load(os.path.join(cache, "counts.npy"))
+    counts = counts.copy()
+    counts[0] += 1
+    np.save(os.path.join(cache, "counts.npy"), counts)
+    assert dev._read_pack_cache(cache, fp) is None
+
+    # writer invalidates meta before touching arrays: simulate a crash
+    # right after that removal — no valid cache is visible
+    dev.load_packed_cached(ds, cache)  # repair
+    assert dev._read_pack_cache(cache, fp) is not None
+    os.remove(os.path.join(cache, "meta.json"))
+    assert dev._read_pack_cache(cache, fp) is None
+    # and a meta with the right fingerprint but wrong blocks is a miss
+    dev.load_packed_cached(ds, cache)
+    with open(os.path.join(cache, "meta.json")) as f:
+        meta = json.load(f)
+    meta["blocks"] += 1
+    with open(os.path.join(cache, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    assert dev._read_pack_cache(cache, fp) is None
 
 
 def test_accum_steps_rejects_device_loader():

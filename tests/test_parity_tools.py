@@ -124,6 +124,33 @@ class TestMergeSeeds:
         with pytest.raises(SystemExit):
             merge_parity_seeds.merge([a, bad])
 
+    def test_merge_rejects_filler_semantics_mismatch(self, tmp_path):
+        """Filler semantics are config identity: a deviant-semantics
+        ablation artifact (--torch-repeat-fillers or
+        POINTSEG_BQ_FILLER=index) must never merge into a canonical
+        gate artifact, while artifacts written before the fields
+        existed merge with explicit-default ones."""
+        a = _write(tmp_path, _artifact(
+            "M", [0, 1], [0.8, 0.8], [0.7, 0.7], [0.8, 0.8], [0.7, 0.7]),
+            "a.json")
+        for key, deviant in (("torch_repeat_fillers", True),
+                             ("bq_filler", "index")):
+            art = json.loads(open(a).read())
+            art[key] = deviant
+            art["train_seeds"] = [5]
+            bad = _write(tmp_path, art, f"bad_{key}.json")
+            with pytest.raises(SystemExit):
+                merge_parity_seeds.merge([a, bad])
+        # missing field == explicit default (pre-r04 artifacts merge)
+        art = json.loads(open(a).read())
+        art["torch_repeat_fillers"] = False
+        art["bq_filler"] = "repeat"
+        art["train_seeds"] = [6]
+        ok = _write(tmp_path, art, "ok.json")
+        m = merge_parity_seeds.merge([a, ok])
+        assert m["train_seeds"] == [0, 1, 6]
+        assert m["bq_filler"] == "repeat"
+
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference"),
                     reason="reference repo not mounted")

@@ -202,6 +202,21 @@ def main() -> int:
     from pointseg.train import state as state_mod
     from pointseg.train.state import create_train_state
 
+    # Validate any pack-cache inputs BEFORE attaching to the relay (same
+    # rule as --grant-file above): an attach-then-quick-exit cycle can
+    # wedge the grant for ~10 min (CLAUDE.md round-3 relay findings),
+    # and a typo'd cache dir is knowable from the filesystem.
+    cache_dir_flag = args.restart_from_cache or args.from_pack_cache
+    if cache_dir_flag:
+        from pointseg.data.device import _read_pack_cache
+
+        fp_precheck = f"synth-{args.points}-{args.blocks}"
+        if _read_pack_cache(cache_dir_flag, fp_precheck) is None:
+            print(json.dumps({"error": f"no pack cache for {fp_precheck} "
+                                       f"in {cache_dir_flag} (checked "
+                                       "before relay attach)"}))
+            return 1
+
     setup_runtime()
     devs, err = watchdog_devices(240, probe_compute=True)
     if devs is None:
@@ -316,9 +331,12 @@ def main() -> int:
         results["host_synthesis_s"] = round(time.perf_counter() - t0, 1)
     flat_bytes = T * 37  # (T, 9) f32 + (T,) u8
     results["flat_bytes"] = flat_bytes
-    print(f"flat table {flat_bytes / 1e9:.1f} GB "
-          f"({'cache hit' if cached_packed is not None else 'synthesized in '
-              + str(results['host_synthesis_s']) + 's'})", flush=True)
+    # NB: keep replacement fields on one physical line — f-string
+    # expressions spanning a newline are a SyntaxError before py3.12
+    # (PEP 701) and pyproject declares requires-python >=3.10
+    src = ("cache hit" if cached_packed is not None
+           else f"synthesized in {results['host_synthesis_s']}s")
+    print(f"flat table {flat_bytes / 1e9:.1f} GB ({src})", flush=True)
 
     # ---- policy arithmetic at this grant ----
     workspace = 5 << 30  # DGCNN's measured worst case, device.py policy

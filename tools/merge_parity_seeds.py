@@ -23,8 +23,16 @@ import sys
 
 import numpy as np
 
-_CONFIG_KEYS = ("model", "epochs", "batches_per_epoch", "npoints",
-                "same_init", "bn_stats", "tol")
+# Filler-semantics fields are part of the config identity: merging a
+# deviant-semantics ablation run (--torch-repeat-fillers or
+# POINTSEG_BQ_FILLER=index) into a canonical gate artifact would corrupt
+# the strict gate's gap. Artifacts written before the field existed get
+# the default (the canonical semantics) so they still merge.
+_CONFIG_KEYS: dict = {
+    "model": None, "epochs": None, "batches_per_epoch": None,
+    "npoints": None, "same_init": None, "bn_stats": None, "tol": None,
+    "torch_repeat_fillers": False, "bq_filler": "repeat",
+}
 
 
 def merge(paths: list[str]) -> dict:
@@ -34,16 +42,17 @@ def merge(paths: list[str]) -> dict:
             arts.append(json.load(f))
     base = arts[0]
     for a in arts[1:]:
-        for k in _CONFIG_KEYS:
-            if a.get(k) != base.get(k):
+        for k, dflt in _CONFIG_KEYS.items():
+            if a.get(k, dflt) != base.get(k, dflt):
                 raise SystemExit(
-                    f"config mismatch on {k!r}: {base.get(k)} vs {a.get(k)}"
+                    f"config mismatch on {k!r}: {base.get(k, dflt)} vs "
+                    f"{a.get(k, dflt)}"
                     f" ({paths[0]} vs {paths[arts.index(a)]})")
     seeds = [s for a in arts for s in a["train_seeds"]]
     if len(set(seeds)) != len(seeds):
         raise SystemExit(f"duplicate seeds across artifacts: {seeds}")
 
-    out = {k: base.get(k) for k in _CONFIG_KEYS}
+    out = {k: base.get(k, dflt) for k, dflt in _CONFIG_KEYS.items()}
     out["train_seeds"] = seeds
     out["merged_from"] = [{"path": p, "seeds": a["train_seeds"]}
                           for p, a in zip(paths, arts)]

@@ -162,12 +162,17 @@ def main() -> int:
     ap.add_argument("--tol", type=float, default=0.05)
     ap.add_argument("--whole-tol", type=float, default=0.05)
     ap.add_argument("--strict", action="store_true",
-                    help="r04 spread-proof criterion: pass = gap >= "
-                         "-tol with NO spread allowance; spread > tol/2 "
-                         "or <5 seeds makes the row inconclusive (fail)")
+                    help="r04 spread-proof criterion (regate_strict): "
+                         "pass = >=5 seeds AND one-sided 95%% LCB of "
+                         "the mIoU gap (gap - 1.645*se) >= -tol; no "
+                         "spread allowance — seed noise can only WIDEN "
+                         "the bound. <5 seeds fails (inconclusive).")
     ap.add_argument("--canonical", nargs="*", default=None,
                     help="override the canonical artifact set")
-    ap.add_argument("--out", default="TRAIN_PARITY_GATED_r03.json")
+    # default changes per round: never point it at a committed PRIOR
+    # round's artifact (a default run would silently overwrite the
+    # historical evidence record)
+    ap.add_argument("--out", default="TRAIN_PARITY_GATED_r04.json")
     ap.add_argument("artifacts", nargs="*",
                     default=sorted(glob.glob("TRAIN_PARITY_[a-z]*.json")))
     args = ap.parse_args()

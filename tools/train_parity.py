@@ -449,6 +449,10 @@ def main() -> int:
         "bn_stats": args.bn_stats,
         "torch_repeat_fillers": bool(
             getattr(args, "torch_repeat_fillers", False)),
+        # pointseg-side filler semantics (POINTSEG_BQ_FILLER): part of
+        # the config identity — tools/merge_parity_seeds.py refuses to
+        # merge artifacts whose filler modes differ
+        "bq_filler": os.environ.get("POINTSEG_BQ_FILLER", "repeat"),
         "train_seeds": seeds,
         "summary": summary,
         "pointseg_with_torch_weights": transfer,
