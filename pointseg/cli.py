@@ -180,6 +180,10 @@ def cmd_train(args) -> int:
         all_train_areas = {1, 2, 3, 4, 5, 6} - set(args.test_areas)
         raw_ds = BlockDataset(args.data_dir, all_train_areas, sampling=None,
                               seed=args.seed)
+        if getattr(args, "pack_cache", None) and \
+                getattr(args, "device_store", "auto") in ("flat", "host"):
+            print(f"note: --pack-cache is ignored with --device-store "
+                  f"{args.device_store} (only the compact store packs)")
         # policy chain: flat f32 store -> 16 B/point compact store ->
         # chunked host prefetcher, by HBM budget (device.py docstring)
         train_loader, data_mode = device_store_or_host_loader(
