@@ -135,8 +135,8 @@ class _Writer:
 # ------------------------------------------------------------ per-model
 
 
-def _import_pointnet(w: _Writer, feature_transform: bool = False):
-    """models/PointNet/PointNet.py:119-150 (PointNetSeg)."""
+def _import_pointnet_encoder(w: _Writer, feature_transform: bool):
+    """models/PointNet/PointNet.py:41-91 (PointNetEncoder + TNets)."""
 
     def tnet(t, f):
         for i in range(3):
@@ -156,10 +156,24 @@ def _import_pointnet(w: _Writer, feature_transform: bool = False):
     w.bn("feat.bn2", "feat/mlp2/BatchNorm_0")
     w.dense("feat.conv3", "feat/conv3")
     w.bn("feat.bn3", "feat/bn3")
+
+
+def _import_pointnet(w: _Writer, feature_transform: bool = False):
+    """models/PointNet/PointNet.py:119-150 (PointNetSeg)."""
+    _import_pointnet_encoder(w, feature_transform)
     for i in range(3):
         w.dense(f"conv{i+1}", f"head/Dense_{i}")
         w.bn(f"bn{i+1}", f"head/BatchNorm_{i}")
     w.dense("conv4", "conv4")
+
+
+def _import_pointnet_cls(w: _Writer, feature_transform: bool = False):
+    """models/PointNet/PointNet.py:93-117 (PointNetCls)."""
+    _import_pointnet_encoder(w, feature_transform)
+    for i in (1, 2):
+        w.dense(f"fc{i}", f"fc{i}")
+        w.bn(f"bn{i}", f"bn{i}")
+    w.dense("fc3", "fc3")
 
 
 def _import_pointnetpp(w: _Writer):
@@ -197,6 +211,7 @@ def _import_dgcnn(w: _Writer, with_color: bool):
 
 _IMPORTERS = {
     "PointNet": lambda w: _import_pointnet(w, feature_transform=False),
+    "PointNetCls": lambda w: _import_pointnet_cls(w, feature_transform=False),
     "PointNet++": _import_pointnetpp,
     "PointNeXt": _import_pointnext,
     "DGCNN": lambda w: _import_dgcnn(w, with_color=False),

@@ -28,10 +28,16 @@ from pointseg.nn import SharedMLP, TNet
 
 
 class PointNetEncoder(nn.Module):
-    """Shared MLP + TNets; emits per-point features cat(global, local)."""
+    """Shared MLP + TNets; emits per-point features cat(global, local).
+
+    With ``global_feat=True`` it instead returns only the pooled (B, 1024)
+    global feature — the classification configuration of the reference
+    encoder (PointNet.py:44, 85-87).
+    """
 
     in_dim: int = 9
     feature_transform: bool = False
+    global_feat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,8 +68,50 @@ class PointNetEncoder(nn.Module):
             global_feat = ops.masked_reduce(x, mask, "max", axis=1)
         else:
             global_feat = jnp.max(x, axis=1)  # (B, 1024)
+        if self.global_feat:
+            return global_feat  # (B, 1024)
         tiled = jnp.broadcast_to(global_feat[:, None, :], (B, N, 1024))
         return jnp.concatenate([tiled, point_feat], axis=-1)  # (B, N, 1088)
+
+
+class PointNetCls(nn.Module):
+    """PointNet classification head (reference PointNet.py:93-117).
+
+    Global-feature encoder -> fc 512 -> 256 -> num_classes with
+    BatchNorm + ReLU + Dropout(0.3) between the fully-connected layers.
+    The reference never trains this class from any of its entry points,
+    but it is part of its public model surface; it is kept out of the
+    segmentation MODEL_REGISTRY because its contract differs (per-cloud
+    (B, num_classes) logits, not per-point).
+
+    Deviation (same contract as every model here): returns raw logits;
+    the reference returns ``log_softmax`` (PointNet.py:116).
+    """
+
+    num_classes: int = 40
+    in_dim: int = 9
+    feature_transform: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        h = PointNetEncoder(
+            in_dim=self.in_dim,
+            feature_transform=self.feature_transform,
+            global_feat=True,
+            dtype=self.dtype,
+            name="feat",
+        )(x, train=train, mask=mask)  # (B, 1024)
+        for i, width in enumerate((512, 256)):
+            h = nn.Dense(width, dtype=self.dtype, name=f"fc{i + 1}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"bn{i + 1}",
+            )(h)
+            h = nn.relu(h)
+            h = nn.Dropout(rate=0.3, deterministic=not train)(h)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc3")(h)
+        return logits.astype(jnp.float32)
 
 
 class PointNetSeg(nn.Module):

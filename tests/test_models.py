@@ -47,6 +47,20 @@ def test_train_mode_runs(name, x):
     assert out.shape == (B, N, C)
 
 
+def test_pointnet_cls_shapes_and_train_mode(x):
+    """PointNetCls: per-cloud (B, num_classes) logits, dropout in train."""
+    from pointseg.models import PointNetCls
+
+    model = PointNetCls(num_classes=40)
+    variables, out = _init_and_apply(model, x)
+    assert out.shape == (B, 40)
+    assert out.dtype == jnp.float32
+    _, out_t = _init_and_apply(model, x, train=True)
+    assert out_t.shape == (B, 40)
+    # classification head is intentionally NOT in the seg registry
+    assert "PointNetCls" not in MODEL_REGISTRY
+
+
 def test_unknown_model_raises():
     with pytest.raises(ValueError, match="Unknown model"):
         create_model("NotAModel")

@@ -289,6 +289,27 @@ def test_pointnet_transferred_weights_forward(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_pointnet_cls_transferred_weights_forward(rng):
+    from models.PointNet.PointNet import PointNetCls as Ref
+
+    from pointseg.models import PointNetCls
+
+    torch.manual_seed(19)
+    ref = Ref(k=14)
+    _randomize_bn(ref, torch.Generator().manual_seed(5))
+    ref.eval()
+
+    x = rng.normal(size=(2, 128, 9)).astype(np.float32)
+    logits = _import_and_run(PointNetCls(num_classes=14), "PointNetCls", ref, x)
+    # the reference returns log-softmax (PointNet.py:116); ours raw logits
+    got = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    with torch.no_grad():
+        # cls forward feeds the encoder channels-first directly (no
+        # internal transpose, unlike PointNetSeg.forward)
+        want = ref(torch.tensor(np.swapaxes(x, 1, 2)))[0].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_pointnetpp_transferred_weights_forward(rng):
     from models.PointNetpp.PointNetpp import PointNetpp as Ref
 
@@ -470,6 +491,16 @@ def test_pointnet_param_count_matches_reference():
 
     ref_n = _torch_param_count(RefPN(part_classes=14))
     got_n = _jax_param_count(PointNetSeg(num_classes=14), jnp.zeros((2, 64, 9)))
+    assert got_n == ref_n
+
+
+def test_pointnet_cls_param_count_matches_reference():
+    from models.PointNet.PointNet import PointNetCls as RefCls
+
+    from pointseg.models import PointNetCls
+
+    ref_n = _torch_param_count(RefCls(k=40))
+    got_n = _jax_param_count(PointNetCls(num_classes=40), jnp.zeros((2, 64, 9)))
     assert got_n == ref_n
 
 
