@@ -240,6 +240,24 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — keep the headline
             _RESULT["scan10"] = f"failed: {type(e).__name__}"
 
+        def analytic_flops(model_name: str, dtype_name: str) -> float:
+            """Analytic FLOPs of one train step from unoptimized HLO.
+
+            Host-side only: the state template comes from eval_shape (no
+            device init/compile), and cost_analysis reads the lowered
+            module without executing — safe to run over the relay."""
+            model = create_model(
+                model_name, num_classes=C, dtype=jnp.dtype(dtype_name))
+            state_struct = jax.eval_shape(
+                lambda: create_train_state(model, points, 1e-3))
+            lowered = state_mod.train_step.lower(
+                state_struct,
+                jax.ShapeDtypeStruct((B, N, 9), jnp.float32),
+                jax.ShapeDtypeStruct((B, N, C), jnp.uint8),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.eval_shape(lambda: jax.random.key(0)))
+            return float(lowered.cost_analysis().get("flops", 0.0))
+
         # ---- per-model sweep (budget-guarded, best-effort) ----
         if PER_MODEL:
             per_model: dict = {}
@@ -271,6 +289,26 @@ def main() -> int:
                     per_model[tag] = round(measure(name, dt, n_chunks=3), 1)
                 except Exception as e:  # noqa: BLE001 — keep the headline
                     per_model[tag] = f"failed: {type(e).__name__}"
+
+            # ---- MFU per measured bf16 row (VERDICT r04 weak #4:
+            # throughput claims must carry their denominator). Wall-
+            # clock MFU against the v5e bf16 MXU peak; host-side
+            # lowering only, after every measurement is already safe.
+            V5E_BF16_PEAK = 197e12
+            mfu: dict = {"_peak": "197 TFLOP/s bf16 MXU (v5e), wall-clock"}
+            for tag, pps_val in list(per_model.items()):
+                name, _, dt = tag.rpartition("/")
+                if dt != "bfloat16" or not isinstance(pps_val, (int, float)):
+                    continue
+                if time.monotonic() > budget:
+                    break
+                try:
+                    fl = analytic_flops(name, dt)
+                    mfu[tag] = round(
+                        fl * pps_val / (B * N) / V5E_BF16_PEAK * 100, 2)
+                except Exception as e:  # noqa: BLE001 — keep the headline
+                    mfu[tag] = f"failed: {type(e).__name__}"
+            _RESULT["mfu_pct"] = mfu
 
         _emit()
         return 0

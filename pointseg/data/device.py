@@ -158,8 +158,11 @@ def dataset_fingerprint(dataset) -> str | None:
     return h.hexdigest()[:24]
 
 
+_FP_UNSET = object()
+
+
 def load_packed_cached(dataset, cache_dir: str, num_workers: int = 8,
-                       raw=None):
+                       raw=None, fp=_FP_UNSET, skip_read: bool = False):
     """(packed, centers, counts) for `dataset`, served from an on-disk
     cache when the dataset fingerprint matches; packs (and writes the
     cache) otherwise. The single miss-path implementation — the
@@ -167,17 +170,25 @@ def load_packed_cached(dataset, cache_dir: str, num_workers: int = 8,
     its already-loaded `raw` blocks), so cache semantics live in one
     place.
 
+    `fp`/`skip_read` let a caller that already fingerprinted the
+    dataset and missed the cache avoid repeating both (the fingerprint
+    is an os.stat sweep over every block file — ~100k stats at full
+    S3DIS scale; ADVICE r04 #3).
+
     Full-S3DIS pack is ~285 s of host work per process plus the raw
     block load before it (PIPELINE_BENCH_r03.json cold start ≈ 9.5 min
     to step 1); the cache pays it once ever. Hits return the packed
     table MEMORY-MAPPED, so restart cost is metadata + the chunked
-    upload alone (VERDICT r03 item 6). Writes are atomic (tmp + rename,
-    meta invalidated first / re-written last) so a killed process never
-    leaves a usable half cache behind."""
-    fp = dataset_fingerprint(dataset)
-    cached = _read_pack_cache(cache_dir, fp)
-    if cached is not None:
-        return cached
+    upload alone (VERDICT r03 item 6). Writes publish a complete
+    per-fingerprint directory with one atomic rename, so a killed or
+    CONCURRENT writer never leaves a usable half cache behind
+    (ADVICE r04 #2)."""
+    if fp is _FP_UNSET:
+        fp = dataset_fingerprint(dataset)
+    if not skip_read:
+        cached = _read_pack_cache(cache_dir, fp)
+        if cached is not None:
+            return cached
 
     if raw is None:
         raw = _load_raw_blocks(dataset, num_workers)
@@ -191,20 +202,20 @@ def load_packed_cached(dataset, cache_dir: str, num_workers: int = 8,
 _PACK_CACHE_NAMES = ("packed.npy", "centers.npy", "counts.npy")
 
 
-def _read_pack_cache(cache_dir: str, fp: str | None):
-    """Cache hit -> (packed mmap, centers, counts); None otherwise.
+def _read_pack_dir(d: str, fp: str):
+    """One cache directory -> (packed mmap, centers, counts) or None.
 
     Validates meta.json's recorded rows/blocks against the arrays
     actually on disk (and counts.sum() against rows): a crash while
-    OVERWRITING a previously valid cache can leave a fingerprint-
+    OVERWRITING a legacy flat-layout cache can leave a fingerprint-
     matching meta next to a mix of old and new arrays, and serving
     that silently trains on wrong data (JAX clamps the out-of-range
     gathers a mismatched counts/packed pair produces — no error)."""
     import json
     import os
 
-    meta_p = os.path.join(cache_dir, "meta.json")
-    if fp is None or not os.path.exists(meta_p):
+    meta_p = os.path.join(d, "meta.json")
+    if not os.path.exists(meta_p):
         return None
     try:
         with open(meta_p) as f:
@@ -212,13 +223,12 @@ def _read_pack_cache(cache_dir: str, fp: str | None):
     except (OSError, ValueError):
         return None
     if meta.get("fingerprint") != fp or not all(
-        os.path.exists(os.path.join(cache_dir, n)) for n in _PACK_CACHE_NAMES
+        os.path.exists(os.path.join(d, n)) for n in _PACK_CACHE_NAMES
     ):
         return None
-    packed = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[0]),
-                     mmap_mode="r")
-    centers = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[1]))
-    counts = np.load(os.path.join(cache_dir, _PACK_CACHE_NAMES[2]))
+    packed = np.load(os.path.join(d, _PACK_CACHE_NAMES[0]), mmap_mode="r")
+    centers = np.load(os.path.join(d, _PACK_CACHE_NAMES[1]))
+    counts = np.load(os.path.join(d, _PACK_CACHE_NAMES[2]))
     rows, blocks = meta.get("rows"), meta.get("blocks")
     if (packed.shape[0] != rows or counts.shape[0] != blocks
             or centers.shape[0] != blocks or int(counts.sum()) != rows):
@@ -226,30 +236,78 @@ def _read_pack_cache(cache_dir: str, fp: str | None):
     return packed, centers, counts
 
 
+def _read_pack_cache(cache_dir: str, fp: str | None):
+    """Cache hit -> (packed mmap, centers, counts); None otherwise.
+
+    Looks in the per-fingerprint subdirectory `cache_dir/{fp}` (the
+    r05 layout: one atomic directory per dataset, so one cache dir can
+    serve several datasets and concurrent writers can't interleave —
+    ADVICE r04 #2), then falls back to the legacy flat layout written
+    by earlier rounds."""
+    import os
+
+    if fp is None:
+        return None
+    hit = _read_pack_dir(os.path.join(cache_dir, fp), fp)
+    if hit is not None:
+        return hit
+    return _read_pack_dir(cache_dir, fp)
+
+
 def _write_pack_cache(cache_dir, fp, packed, centers, counts) -> None:
-    """Atomic (tmp + rename) so a killed process never leaves a half
-    cache. meta.json is REMOVED first (a crash mid-overwrite of a valid
-    cache must invalidate it, not leave stale meta pointing at mixed
-    arrays) and lands last, making partial writes invisible; the read
-    path additionally cross-checks meta's rows/blocks vs the arrays."""
+    """Publishes `cache_dir/{fp}` with ONE atomic directory rename.
+
+    The full cache set (arrays + meta.json) is staged in a per-pid
+    temp subdirectory, then renamed into place — a killed process
+    leaves only an invisible temp dir, and two concurrent writers
+    (same or different datasets) can't interleave per-file renames
+    into a mixed cache (ADVICE r04 #2). Loser of a same-fp publish
+    race discards its staging dir: same fingerprint = same input
+    files = identical content. Stale temp dirs from dead writers are
+    swept opportunistically."""
     import contextlib
     import json
     import os
+    import shutil
 
     os.makedirs(cache_dir, exist_ok=True)
-    with contextlib.suppress(FileNotFoundError):
-        os.remove(os.path.join(cache_dir, "meta.json"))
     pid = os.getpid()
+    # sweep temp dirs left by crashed writers (best-effort)
+    for entry in os.listdir(cache_dir):
+        if not entry.startswith(".tmp-"):
+            continue
+        try:
+            owner = int(entry.split("-")[1])
+            os.kill(owner, 0)  # raises if the pid is gone
+        except (ValueError, ProcessLookupError):
+            with contextlib.suppress(OSError):
+                shutil.rmtree(os.path.join(cache_dir, entry))
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+    stage = os.path.join(cache_dir, f".tmp-{pid}")
+    os.makedirs(stage, exist_ok=True)
     for name, arr in zip(_PACK_CACHE_NAMES, (packed, centers, counts)):
-        # np.save appends .npy to extensionless paths — keep it
-        tmp = os.path.join(cache_dir, f".{name}.{pid}.tmp.npy")
-        np.save(tmp, arr)
-        os.replace(tmp, os.path.join(cache_dir, name))
-    tmp = os.path.join(cache_dir, f".meta.{pid}.tmp")
-    with open(tmp, "w") as f:
+        np.save(os.path.join(stage, name), arr)
+    with open(os.path.join(stage, "meta.json"), "w") as f:
         json.dump({"fingerprint": fp, "rows": int(packed.shape[0]),
                    "blocks": int(counts.shape[0])}, f)
-    os.replace(tmp, os.path.join(cache_dir, "meta.json"))
+    target = os.path.join(cache_dir, fp)
+    try:
+        os.replace(stage, target)
+    except OSError:
+        # target exists non-empty: either a concurrent same-fp writer
+        # published identical content (keep theirs), or an invalid/
+        # torn dir occupies the slot (replace it, else every future
+        # read would miss and repack forever)
+        if _read_pack_dir(target, fp) is None:
+            with contextlib.suppress(OSError):
+                shutil.rmtree(target)
+            with contextlib.suppress(OSError):
+                os.replace(stage, target)
+                return
+        with contextlib.suppress(OSError):
+            shutil.rmtree(stage)
 
 
 def _choose_rows(offsets, counts, order, step, key, batch_size, npoints):
@@ -726,8 +784,12 @@ def device_store_or_host_loader(
                                 f"{name}: over budget (measured "
                                 f"{actual_estimate(name) / 1e9:.2f} GB)")
                             continue
+                    # fp_key was computed and the cache read-missed at
+                    # function entry — don't repeat either (the
+                    # fingerprint is a ~100k-file stat sweep at scale)
                     packed, centers, counts_arr = load_packed_cached(
-                        dataset, pack_cache, num_workers, raw=raw)
+                        dataset, pack_cache, num_workers, raw=raw,
+                        fp=fp_key, skip_read=True)
                 else:
                     packed, centers, counts_arr = cached
                 # big tables stream in row chunks (one giant relay

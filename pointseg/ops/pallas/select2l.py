@@ -1,4 +1,12 @@
-"""Two-level top-k extraction over a VMEM-resident distance block.
+"""Two-level top-k extraction — EXPERIMENTAL, CLOSED AS NOT-A-WIN.
+
+STATUS (2026-08-18, round 2; reconfirmed round 4): exact on chip at
+every (depth, tile, S) tested (VERIFY_TPU_r04.json::
+select2l_compiled_vs_flat) but NO FASTER than the flat kernel once
+refill is correct (chip A/B in docs/KERNELS.md "two-level selection");
+NOT dispatched — env-gated behind POINTSEG_SELECT2L for re-evaluation
+on future hardware only. The dispatched production path is
+ops/pallas/knn.py / ops/pallas/ballquery.py (flat selection).
 
 Shared by the kNN and ball-query kernels: both need the k best entries
 of each row of a (TILE, N) score block in (value desc, col asc) order —

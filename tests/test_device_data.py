@@ -512,7 +512,9 @@ def test_pack_cache_hit_skips_raw_load(tmp_path, monkeypatch):
         layout="compact", pack_cache=cache)
     assert mode == "compact"
     import os
-    assert os.path.exists(os.path.join(cache, "meta.json"))
+    # r05 layout: one atomically-published subdirectory per fingerprint
+    fp0 = dev.dataset_fingerprint(ds)
+    assert os.path.exists(os.path.join(cache, fp0, "meta.json"))
 
     # hit path: any raw block load is a test failure
     def _boom(dataset, num_workers):
@@ -589,14 +591,15 @@ def test_load_packed_cached_roundtrip(tmp_path):
 
 
 def test_pack_cache_rejects_mixed_arrays(tmp_path):
-    """Integrity check: a crash mid-OVERWRITE of a previously valid
-    cache can leave meta.json (old fingerprint, old rows) next to a
-    replaced packed.npy from a DIFFERENT dataset. Serving that mix
-    silently trains on wrong data (JAX clamps the out-of-range gathers
-    a mismatched counts/packed pair produces), so the read path must
-    treat any meta-vs-array shape mismatch as a miss. The writer also
-    removes meta.json FIRST, so a crash between array replacements
-    leaves no fingerprint-matching meta at all."""
+    """Integrity check (defense in depth behind the atomic directory
+    publish): external mutation — or a torn legacy flat-layout
+    overwrite — can leave meta.json (old fingerprint, old rows) next
+    to a replaced packed.npy from a DIFFERENT dataset. Serving that
+    mix silently trains on wrong data (JAX clamps the out-of-range
+    gathers a mismatched counts/packed pair produces), so the read
+    path must treat any meta-vs-array inconsistency as a miss — and
+    the writer must REPLACE an invalid published dir rather than
+    deferring to it (else every future read repacks forever)."""
     import json
     import os
 
@@ -608,37 +611,87 @@ def test_pack_cache_rejects_mixed_arrays(tmp_path):
     cache = str(tmp_path / "c")
     dev.load_packed_cached(ds, cache)
     fp = dev.dataset_fingerprint(ds)
+    fpd = os.path.join(cache, fp)
     assert dev._read_pack_cache(cache, fp) is not None
 
     # simulate the torn overwrite: packed.npy swapped for a different
     # dataset's (row count differs), meta/centers/counts still the old set
-    packed = np.load(os.path.join(cache, "packed.npy"))
-    np.save(os.path.join(cache, "packed.npy"), packed[:-7])
+    packed = np.load(os.path.join(fpd, "packed.npy"))
+    np.save(os.path.join(fpd, "packed.npy"), packed[:-7])
     assert dev._read_pack_cache(cache, fp) is None
 
     # restore rows but corrupt counts<->rows consistency
-    np.save(os.path.join(cache, "packed.npy"), packed)
+    np.save(os.path.join(fpd, "packed.npy"), packed)
     assert dev._read_pack_cache(cache, fp) is not None
-    counts = np.load(os.path.join(cache, "counts.npy"))
+    counts = np.load(os.path.join(fpd, "counts.npy"))
     counts = counts.copy()
     counts[0] += 1
-    np.save(os.path.join(cache, "counts.npy"), counts)
+    np.save(os.path.join(fpd, "counts.npy"), counts)
     assert dev._read_pack_cache(cache, fp) is None
 
-    # writer invalidates meta before touching arrays: simulate a crash
-    # right after that removal — no valid cache is visible
+    # a repack must REPLACE the invalid published dir, not defer to it
     dev.load_packed_cached(ds, cache)  # repair
     assert dev._read_pack_cache(cache, fp) is not None
-    os.remove(os.path.join(cache, "meta.json"))
+    os.remove(os.path.join(fpd, "meta.json"))
     assert dev._read_pack_cache(cache, fp) is None
     # and a meta with the right fingerprint but wrong blocks is a miss
     dev.load_packed_cached(ds, cache)
-    with open(os.path.join(cache, "meta.json")) as f:
+    with open(os.path.join(fpd, "meta.json")) as f:
         meta = json.load(f)
     meta["blocks"] += 1
-    with open(os.path.join(cache, "meta.json"), "w") as f:
+    with open(os.path.join(fpd, "meta.json"), "w") as f:
         json.dump(meta, f)
     assert dev._read_pack_cache(cache, fp) is None
+
+
+def test_pack_cache_legacy_flat_layout_still_hits(tmp_path):
+    """Caches written by pre-r05 rounds used a flat layout (arrays +
+    meta.json directly in cache_dir); the read path must keep serving
+    them."""
+    import json
+    import os
+
+    import pointseg.data.device as dev
+
+    d = make_block_dataset(str(tmp_path / "b"), areas=(1,), rooms_per_area=1,
+                           points_per_room=2500, seed=2, rgb_u8=True)
+    ds = BlockDataset(d, {1}, sampling=None)
+    cache = str(tmp_path / "c")
+    packed, centers, counts = dev.load_packed_cached(ds, cache)
+    fp = dev.dataset_fingerprint(ds)
+    # rewrite as the legacy flat layout
+    import shutil
+    fpd = os.path.join(cache, fp)
+    for n in ("packed.npy", "centers.npy", "counts.npy", "meta.json"):
+        shutil.move(os.path.join(fpd, n), os.path.join(cache, n))
+    os.rmdir(fpd)
+    hit = dev._read_pack_cache(cache, fp)
+    assert hit is not None
+    np.testing.assert_array_equal(np.asarray(hit[0]), np.asarray(packed))
+
+
+def test_pack_cache_two_datasets_one_dir(tmp_path):
+    """ADVICE r04 #2: two datasets sharing one cache dir must coexist
+    (per-fingerprint subdirectories) — neither evicts or corrupts the
+    other, and both hit on re-read."""
+    import pointseg.data.device as dev
+
+    d1 = make_block_dataset(str(tmp_path / "b1"), areas=(1,),
+                            rooms_per_area=1, points_per_room=2500,
+                            seed=2, rgb_u8=True)
+    d2 = make_block_dataset(str(tmp_path / "b2"), areas=(1,),
+                            rooms_per_area=2, points_per_room=3000,
+                            seed=3, rgb_u8=True)
+    ds1 = BlockDataset(d1, {1}, sampling=None)
+    ds2 = BlockDataset(d2, {1}, sampling=None)
+    cache = str(tmp_path / "c")
+    p1, _, _ = dev.load_packed_cached(ds1, cache)
+    p2, _, _ = dev.load_packed_cached(ds2, cache)
+    h1 = dev._read_pack_cache(cache, dev.dataset_fingerprint(ds1))
+    h2 = dev._read_pack_cache(cache, dev.dataset_fingerprint(ds2))
+    assert h1 is not None and h2 is not None
+    np.testing.assert_array_equal(np.asarray(h1[0]), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(h2[0]), np.asarray(p2))
 
 
 def test_accum_steps_rejects_device_loader():

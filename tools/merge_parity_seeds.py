@@ -32,6 +32,13 @@ _CONFIG_KEYS: dict = {
     "model": None, "epochs": None, "batches_per_epoch": None,
     "npoints": None, "same_init": None, "bn_stats": None, "tol": None,
     "torch_repeat_fillers": False, "bq_filler": "repeat",
+    # r05: 'init' replicates re-initialize both models per seed; the
+    # r03/r04 artifacts predate the field and used the legacy
+    # train-draws-only protocol
+    "seed_protocol": "train",
+    # r05: class-correlated synthetic rgb (PointNet gate); pre-r05
+    # artifacts used uniform-noise rgb
+    "class_colors": False,
 }
 
 

@@ -78,13 +78,49 @@ def measured_ms(repo_root: str, model: str) -> float | None:
     return None if entry is None else float(entry["ms_per_step"])
 
 
-def step_cost(model_name: str, batch: int, n: int, num_classes: int) -> dict:
+def bench_ms(repo_root: str, bench_json: str, model: str,
+             batch: int, n: int) -> float | None:
+    """Wall ms/step derived from a driver BENCH_r{N}.json per_model
+    points/sec entry (VERDICT r04 weak #4: MFU must divide CURRENT step
+    times, and the bench artifact is the canonical source of those)."""
+    path = os.path.join(repo_root, bench_json)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    per_model = data.get("parsed", data).get("per_model", {})
+    # static-graph rows reuse the base DGCNN analytic cost; their
+    # measured time comes from the dedicated chip A/B artifact
+    pps = per_model.get(f"{model}/bfloat16")
+    if not isinstance(pps, (int, float)) or pps <= 0:
+        return None
+    return batch * n / float(pps) * 1e3
+
+
+def static_graph_ms(repo_root: str) -> float | None:
+    """DGCNN --static-graph chip step time (AB_STATIC_GRAPH_r03.json)."""
+    path = os.path.join(repo_root, "AB_STATIC_GRAPH_r03.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    try:
+        return float(data["static"]["ms_per_step"])
+    except (KeyError, TypeError):
+        for k in ("static_ms", "static_ms_per_step"):
+            if k in data:
+                return float(data[k])
+    return None
+
+
+def step_cost(model_name: str, batch: int, n: int, num_classes: int,
+              **model_kwargs) -> dict:
     """Analytic cost of one jitted train step from unoptimized HLO."""
     from pointseg.models import create_model
     from pointseg.train.state import create_train_state, train_step
 
     model = create_model(model_name, num_classes=num_classes,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, **model_kwargs)
     points = jnp.zeros((batch, n, 9), jnp.float32)
     labels = jnp.zeros((batch, n, num_classes), jnp.float32)
     lengths = jnp.full((batch,), n, jnp.int32)
@@ -173,15 +209,24 @@ def main() -> int:
     ap.add_argument("--classes", type=int, default=14)
     ap.add_argument("--models", nargs="*",
                     default=["PointNet", "PointNet++", "PointNet++MSG",
-                             "PointNeXt", "DeepGraphCnn"])
-    ap.add_argument("--out", default="ROOFLINE_r02.json")
+                             "PointNeXt", "PointNeXt-L", "DeepGraphCnn",
+                             "DeepGraphCnn(static)"])
+    ap.add_argument("--bench-json", default="BENCH_r04.json",
+                    help="driver bench artifact supplying current "
+                         "per-model points/sec (bf16 rows); legacy r02 "
+                         "A/B artifacts are the fallback source")
+    ap.add_argument("--out", default="ROOFLINE_r05.json")
     args = ap.parse_args()
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = {
         "config": {"batch": args.batch, "points": args.points,
                    "classes": args.classes,
-                   "dtype": "bf16 activations / f32 params"},
+                   "dtype": "bf16 activations / f32 params",
+                   "step_time_source": f"{args.bench_json} per_model "
+                                       "(wall incl. dispatch); "
+                                       "DeepGraphCnn(static): "
+                                       "AB_STATIC_GRAPH_r03.json"},
         "peaks": {"mxu_bf16_flops": V5E_BF16_FLOPS,
                   "hbm_bytes_per_s": V5E_HBM_BYTES},
         "models": {},
@@ -190,8 +235,19 @@ def main() -> int:
           f"HLO GB/step | HBM-bound ms (upper) |")
     print("|---|---|---|---|---|---|---|")
     for name in args.models:
-        cost = step_cost(name, args.batch, args.points, args.classes)
-        ms = measured_ms(repo_root, name)
+        if name == "DeepGraphCnn(static)":
+            # same analytic graph cost minus the 3 repeated kNN
+            # selections is NOT what XLA sees — lower the actual
+            # static_graph=True program instead
+            cost = step_cost("DeepGraphCnn", args.batch, args.points,
+                             args.classes, static_graph=True)
+            ms = static_graph_ms(repo_root)
+        else:
+            cost = step_cost(name, args.batch, args.points, args.classes)
+            ms = bench_ms(repo_root, args.bench_json, name,
+                          args.batch, args.points)
+            if ms is None and name in MEASURED_KEYS:
+                ms = measured_ms(repo_root, name)
         flops = cost["flops_per_step"]
         bts = cost["hlo_bytes_per_step"]
         ideal_ms = flops / V5E_BF16_FLOPS * 1e3

@@ -56,6 +56,14 @@ sys.path.insert(0, REPO)
 REFERENCE = os.environ.get("POINTSEG_REFERENCE", "/root/reference")
 
 
+def _live_filler_mode() -> str:
+    """The pointseg ball-query filler mode actually in effect (covers
+    both POINTSEG_BQ_FILLER and programmatic set_filler_mode())."""
+    from pointseg.ops import ballquery
+
+    return ballquery.filler_mode()
+
+
 def build_data(args):
     from pointseg.data.datasets import BlockDataset, Loader
     from pointseg.data.synthetic import make_block_dataset
@@ -64,6 +72,7 @@ def build_data(args):
         make_block_dataset(
             args.data_dir, areas=(1, 2), rooms_per_area=args.rooms_per_area,
             points_per_room=args.points_per_room, seed=args.seed,
+            class_colors=getattr(args, "class_colors", False),
         )
     train_ds = BlockDataset(args.data_dir, {1}, sampling=args.npoints,
                             seed=args.seed)
@@ -151,11 +160,11 @@ def patch_torch_repeat_fillers():
     C.group = group_repeat
 
 
-def make_torch_model(args):
+def make_torch_model(args, init_seed=None):
     sys.path.insert(0, REFERENCE)
     import torch
 
-    torch.manual_seed(args.seed)
+    torch.manual_seed(args.seed if init_seed is None else init_seed)
     if getattr(args, "torch_repeat_fillers", False):
         patch_torch_repeat_fillers()
     if args.model == "PointNet":
@@ -250,7 +259,7 @@ def eval_transferred(args, tmodel, test_batches):
 
 
 def train_pointseg(args, epochs, test_batches, init_state_dict=None,
-                   train_seed=None):
+                   train_seed=None, init_seed=None):
     import jax
     import jax.numpy as jnp
 
@@ -261,8 +270,9 @@ def train_pointseg(args, epochs, test_batches, init_state_dict=None,
         args.model, num_classes=14,
         dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32)
     example = jnp.zeros((args.batch_size, args.npoints, 9), jnp.float32)
-    state = create_train_state(model, example, args.learning_rate,
-                               seed=args.seed)
+    state = create_train_state(
+        model, example, args.learning_rate,
+        seed=args.seed if init_seed is None else init_seed)
     if init_state_dict is not None:
         from pointseg.io.torch_import import from_torch_state_dict
 
@@ -337,11 +347,25 @@ def main() -> int:
                          "docstring caveat — understates pointseg)")
     ap.add_argument("--train-seeds", default="0",
                     help="comma-separated list; each framework trains once "
-                         "per seed (same init, same data, different "
-                         "dropout/FPS draws). With >1 seed the pass "
-                         "criterion becomes |mean gap| <= tol + the "
-                         "cross-framework gap must not exceed the "
-                         "within-framework seed spread by more than tol")
+                         "per seed (see --seed-protocol for what varies). "
+                         "With >1 seed the pass criterion becomes "
+                         "|mean gap| <= tol + the cross-framework gap must "
+                         "not exceed the within-framework seed spread by "
+                         "more than tol")
+    ap.add_argument("--seed-protocol", choices=["init", "train"],
+                    default="init", dest="seed_protocol",
+                    help="what each replicate seed varies. 'init' "
+                         "(default, VERDICT r04 weak #1 fix): each seed "
+                         "re-initializes BOTH models (torch re-seeds "
+                         "manual_seed like the reference's per-run model "
+                         "build, train.py:53-60) AND varies the training "
+                         "draws — replicates are genuinely independent, "
+                         "so models without dropout/FPS (PointNet) still "
+                         "get non-zero seed spread. 'train' (legacy, the "
+                         "r03/r04 artifacts): same init + same data, only "
+                         "dropout/FPS draws vary — degenerates to "
+                         "bit-identical replicates for deterministic "
+                         "models.")
     ap.add_argument("--bf16", action="store_true",
                     help="pointseg side computes in bfloat16 (params f32) "
                          "— convergence-parity evidence for the --bf16 "
@@ -360,6 +384,16 @@ def main() -> int:
                          "query to pointseg's repeat-nearest filler "
                          "semantics (see patch_torch_repeat_fillers) — "
                          "mechanism experiment, never canonical")
+    ap.add_argument("--class-colors", action="store_true",
+                    dest="class_colors",
+                    help="generate synthetic rooms with class-correlated "
+                         "rgb (like real S3DIS) instead of uniform noise "
+                         "rgb. Moves architectures without local geometry "
+                         "features (PointNet) out of the majority-class "
+                         "plateau so their gate operates where a broken "
+                         "model would fail (VERDICT r04 weak #2). Only "
+                         "affects data GENERATION — no effect if "
+                         "--data-dir already exists.")
     ap.add_argument("--out", default="TRAIN_PARITY.json")
     args = ap.parse_args()
 
@@ -383,7 +417,16 @@ def main() -> int:
     ref_runs, our_runs = [], []
     transfer = None
     for s in seeds:
-        tmodel.load_state_dict({k: v.clone() for k, v in init_sd.items()})
+        if args.seed_protocol == "init":
+            # independent replicate: fresh torch init per seed (the
+            # reference builds a fresh model per run, train.py:53-60)
+            # and a per-seed flax init seed on the pointseg side
+            tmodel = make_torch_model(args, init_seed=args.seed + 101 * s)
+            init_sd = {k: v.clone() for k, v in tmodel.state_dict().items()}
+            ps_init_seed = args.seed + 101 * s
+        else:
+            tmodel.load_state_dict({k: v.clone() for k, v in init_sd.items()})
+            ps_init_seed = None
         print(f"training torch reference {args.model} (seed {s}) ...",
               flush=True)
         ref_runs.append(train_torch(args, tmodel, epochs, test_batches,
@@ -398,7 +441,8 @@ def main() -> int:
         print(f"training pointseg {args.model} (seed {s}) ...", flush=True)
         our_runs.append(train_pointseg(
             args, epochs, test_batches,
-            init_sd if args.same_init else None, train_seed=s))
+            init_sd if args.same_init else None, train_seed=s,
+            init_seed=ps_init_seed))
 
     def agg(runs, regime, key):
         vals = [r[regime][key] for r in runs]
@@ -449,10 +493,14 @@ def main() -> int:
         "bn_stats": args.bn_stats,
         "torch_repeat_fillers": bool(
             getattr(args, "torch_repeat_fillers", False)),
-        # pointseg-side filler semantics (POINTSEG_BQ_FILLER): part of
-        # the config identity — tools/merge_parity_seeds.py refuses to
-        # merge artifacts whose filler modes differ
-        "bq_filler": os.environ.get("POINTSEG_BQ_FILLER", "repeat"),
+        # pointseg-side filler semantics: part of the config identity —
+        # tools/merge_parity_seeds.py refuses to merge artifacts whose
+        # filler modes differ. Read from the live API, not the env var,
+        # so a set_filler_mode() override is recorded faithfully
+        # (ADVICE r04 #1).
+        "bq_filler": _live_filler_mode(),
+        "seed_protocol": args.seed_protocol,
+        "class_colors": bool(getattr(args, "class_colors", False)),
         "train_seeds": seeds,
         "summary": summary,
         "pointseg_with_torch_weights": transfer,
