@@ -163,3 +163,15 @@ def test_evaluate_rooms_device_stream_matches_host(chunk_dir):
     assert dev["mean_iou"] == pytest.approx(host["mean_iou"], abs=1e-6)
     assert dev["class_accuracies"] == pytest.approx(
         host["class_accuracies"], abs=1e-6)
+
+
+def test_doc_citations_resolve():
+    """Every file/symbol/line citation in the markdown doc trail must
+    resolve (VERDICT r04 weak #5: one dangling citation erodes trust in
+    the whole evidence index). tools/check_citations.py exits non-zero
+    on any dangling citation."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "check_citations.py")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr

@@ -151,6 +151,33 @@ class TestMergeSeeds:
         assert m["train_seeds"] == [0, 1, 6]
         assert m["bq_filler"] == "repeat"
 
+    def test_merge_rejects_protocol_and_data_mismatch(self, tmp_path):
+        """r05 config-identity fields: replicate protocol (init vs
+        legacy train-draws-only) and synthetic-data learnability
+        (class-colored rgb) both change what a seed run measures, so
+        artifacts differing on either must not merge; absent fields
+        mean the pre-r05 defaults."""
+        a = _write(tmp_path, _artifact(
+            "M", [0, 1], [0.8, 0.8], [0.7, 0.7], [0.8, 0.8], [0.7, 0.7]),
+            "a.json")
+        for key, deviant in (("seed_protocol", "init"),
+                             ("class_colors", True)):
+            art = json.loads(open(a).read())
+            art[key] = deviant
+            art["train_seeds"] = [5]
+            bad = _write(tmp_path, art, f"bad_{key}.json")
+            with pytest.raises(SystemExit):
+                merge_parity_seeds.merge([a, bad])
+        # explicit defaults still merge with absent fields
+        art = json.loads(open(a).read())
+        art["seed_protocol"] = "train"
+        art["class_colors"] = False
+        art["train_seeds"] = [7]
+        ok = _write(tmp_path, art, "ok2.json")
+        m = merge_parity_seeds.merge([a, ok])
+        assert m["train_seeds"] == [0, 1, 7]
+        assert m["seed_protocol"] == "train"
+
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference"),
                     reason="reference repo not mounted")

@@ -72,11 +72,19 @@ def regate(path: str, tol: float, whole_tol: float) -> dict:
 # results ARE the documented mechanism proofs), _bnbatch and _bf16 are
 # ablations, and 3-seed/short runs are superseded by the 5-seed merges.
 CANONICAL = {
-    "TRAIN_PARITY_pointnet_long.json",
+    "TRAIN_PARITY_pointnet_cc_r05.json",
     "TRAIN_PARITY_pointnetpp_long_5seed.json",
     "TRAIN_PARITY_pointnext_long_5seed.json",
     "TRAIN_PARITY_dgcnn_long_5seed.json",
 }
+# r05 PointNet canonical (VERDICT r04 weak #1/#2): seed_protocol=init
+# (fresh inits per replicate — the legacy protocol produced 5
+# bit-identical runs for dropout-free PointNet) on class-colored
+# synthetic data (torch PointNet reaches sampled OA ~0.88 there; the
+# old uniform-rgb scenario pinned both frameworks at the majority-class
+# plateau OA 0.40, where the gate couldn't fail a broken model).
+# TRAIN_PARITY_pointnet_long.json remains committed as the legacy-
+# protocol record.
 
 
 def regate_strict(path: str, tol: float, whole_tol: float) -> dict:
@@ -172,7 +180,7 @@ def main() -> int:
     # default changes per round: never point it at a committed PRIOR
     # round's artifact (a default run would silently overwrite the
     # historical evidence record)
-    ap.add_argument("--out", default="TRAIN_PARITY_GATED_r04.json")
+    ap.add_argument("--out", default="TRAIN_PARITY_GATED_r05.json")
     ap.add_argument("artifacts", nargs="*",
                     default=sorted(glob.glob("TRAIN_PARITY_[a-z]*.json")))
     args = ap.parse_args()
