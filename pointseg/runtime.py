@@ -30,13 +30,21 @@ def host_fingerprint() -> str:
     fingerprint — a different host simply starts a fresh cache instead
     of loading foreign machine code.
     """
+    # 'model name' alone is NOT discriminating on cloud hosts (observed:
+    # the generic "Intel(R) Xeon(R) Processor @ 2.10GHz" across
+    # different microarchs whose flags also match) — LLVM picks its
+    # target CPU (and synthetic features like +prefer-no-gather) from
+    # CPUID family/model/stepping, so those must key the cache too
+    # (r05: an AOT mismatch warning fired ACROSS hosts sharing the old
+    # two-line fingerprint).
+    keys = ("model name", "flags", "cpu family", "model\t", "stepping")
     ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "flags")):
+                if line.startswith(keys):
                     ident.append(line.strip())
-                    if len(ident) >= 2:
+                    if len(ident) >= len(keys):
                         break
     except OSError:
         pass
