@@ -141,6 +141,34 @@ def regate_strict(path: str, tol: float, whole_tol: float) -> dict:
 # pinned to a measured, documented semantic deviation rather than a
 # defect. Keyed by canonical artifact basename.
 ADJUDICATIONS = {
+    "TRAIN_PARITY_pointnet_cc_r05.json": {
+        "mechanism": "BN running-stat estimator fragility on the tiny "
+                     "sharply-separable synthetic task (not a forward "
+                     "or training defect)",
+        "evidence": [
+            "PN_BNSTATS_2X2_r05.json",
+            "TRAIN_PARITY_pointnet_cc_bnbatch_r05.json",
+        ],
+        "summary": (
+            "Transferred torch weights reproduce torch through our "
+            "forward to 4 digits in BOTH regimes (forward parity exact). "
+            "The framework x objective x BN-statistics cross "
+            "(tools/diag_pointnet_bnstats.py) shows: (1) whole-block "
+            "running-stat degradation is UNIVERSAL — torch trained on "
+            "the raw objective drops to whole mIoU 0.35/0.70 too, and "
+            "batch statistics recover every cell to ~0.95+; (2) "
+            "pointseg+raw learns the best function of any cell "
+            "(batch-stat ~0.98 mIoU in both regimes, every seed) — the "
+            "running-stat ESTIMATOR, not the function, is the entire "
+            "gap; (3) the reference's double-softmax objective "
+            "(PointNet.py:147-149 softmax + loss log-softmax) is a "
+            "logit damper whose side effect is EMA-stable BN stats at "
+            "the cost of slower learning. The shipped `--bn-stats "
+            "batch` mode (documented mitigation for exactly this "
+            "failure mode) gates parity-or-better over 5 independent "
+            "init-protocol seeds."
+        ),
+    },
     "TRAIN_PARITY_pointnext_long_5seed.json": {
         "mechanism": "ball-query filler semantics (deliberate deviation)",
         "evidence": [
