@@ -105,6 +105,74 @@ def _emit(error: str | None = None) -> None:
         print(json.dumps(rec), flush=True)
 
 
+def analytic_step_flops(model_name: str, dtype_name: str,
+                        B: int = 8, N: int = 4096, C: int = 14) -> float:
+    """Analytic FLOPs of one full train step from unoptimized HLO.
+
+    Host-side only: every argument is abstract (``jax.eval_shape`` /
+    ``ShapeDtypeStruct``) and ``cost_analysis`` reads the lowered module
+    without compiling or executing — no device buffers are created and
+    nothing is dispatched, so this is safe to call over the relay in the
+    middle of a benchmark run
+    (tests/test_bench.py::test_analytic_step_flops_host_side).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pointseg.models import create_model
+    from pointseg.train import state as state_mod
+    from pointseg.train.state import create_train_state
+
+    model = create_model(
+        model_name, num_classes=C, dtype=jnp.dtype(dtype_name))
+    pts = jax.ShapeDtypeStruct((B, N, 9), jnp.float32)
+    state_struct = jax.eval_shape(
+        lambda p: create_train_state(model, p, 1e-3), pts)
+
+    def lower():
+        return state_mod.train_step.lower(
+            state_struct, pts,
+            jax.ShapeDtypeStruct((B, N, C), jnp.uint8),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.eval_shape(lambda: jax.random.key(0)))
+
+    ca = lower().cost_analysis()
+    if not isinstance(ca, dict):
+        # The axon PJRT client has no HLO cost analysis (returns None).
+        # Unoptimized-HLO FLOPs are backend-agnostic, so re-lower the
+        # same program against the in-process XLA:CPU client — still no
+        # compile, no execution, no device buffers. The ops dispatch
+        # helpers key on the REAL device platform (still TPU here), so
+        # pin the lowering to the exact convention ROOFLINE_r05.json /
+        # tools/roofline.py measure from a pure-CPU process: pure-JAX
+        # oracle kernels (Pallas calls don't lower for CPU, and their
+        # FLOPs are opaque to cost_analysis anyway; the oracle's dense-
+        # distance FLOPs are counted) and XLA take_along/scatter gathers
+        # (memory-bound, 0 FLOPs — the bf16 one-hot MXU gather trick is
+        # an implementation detail, not algorithmic work, and counting
+        # its matmuls inflated PointNet++ "MFU" 6.4x). NB these setters
+        # clear jit caches; bench only calls this after every
+        # measurement is done.
+        from pointseg.ops import dispatch as _dispatch
+        from pointseg.ops import gather as _gather
+
+        prev = _dispatch._FORCED
+        prev_sc, prev_fwd = _gather._FORCED, _gather._FWD_FORCED
+        _dispatch.set_use_pallas(False)
+        _gather.set_scatter_strategy("xla")
+        _gather.set_gather_forward("xla")
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
+                ca = lower().cost_analysis()
+        finally:
+            _dispatch.set_use_pallas(prev)
+            _gather.set_scatter_strategy(prev_sc)
+            _gather.set_gather_forward(prev_fwd)
+    if not isinstance(ca, dict):
+        raise RuntimeError("cost_analysis unavailable on every backend")
+    return float(ca.get("flops", 0.0))
+
+
 def main() -> int:
     try:
         import jax
@@ -240,24 +308,6 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — keep the headline
             _RESULT["scan10"] = f"failed: {type(e).__name__}"
 
-        def analytic_flops(model_name: str, dtype_name: str) -> float:
-            """Analytic FLOPs of one train step from unoptimized HLO.
-
-            Host-side only: the state template comes from eval_shape (no
-            device init/compile), and cost_analysis reads the lowered
-            module without executing — safe to run over the relay."""
-            model = create_model(
-                model_name, num_classes=C, dtype=jnp.dtype(dtype_name))
-            state_struct = jax.eval_shape(
-                lambda: create_train_state(model, points, 1e-3))
-            lowered = state_mod.train_step.lower(
-                state_struct,
-                jax.ShapeDtypeStruct((B, N, 9), jnp.float32),
-                jax.ShapeDtypeStruct((B, N, C), jnp.uint8),
-                jax.ShapeDtypeStruct((B,), jnp.int32),
-                jax.eval_shape(lambda: jax.random.key(0)))
-            return float(lowered.cost_analysis().get("flops", 0.0))
-
         # ---- per-model sweep (budget-guarded, best-effort) ----
         if PER_MODEL:
             per_model: dict = {}
@@ -303,7 +353,7 @@ def main() -> int:
                 if time.monotonic() > budget:
                     break
                 try:
-                    fl = analytic_flops(name, dt)
+                    fl = analytic_step_flops(name, dt, B=B, N=N, C=C)
                     mfu[tag] = round(
                         fl * pps_val / (B * N) / V5E_BF16_PEAK * 100, 2)
                 except Exception as e:  # noqa: BLE001 — keep the headline

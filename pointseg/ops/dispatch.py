@@ -71,11 +71,12 @@ def use_select2l() -> bool:
     """Whether kNN/ball-query route to the two-level selection kernels
     (pointseg/ops/pallas/select2l.py) instead of the flat k-pass ones.
 
-    Default OFF: the two-level core measures 2.3x faster compiled
-    (BENCHMARKS.md) and is oracle-exact in interpret mode at every
-    tested configuration, but one compiled depth-3 variant mismatched
-    on chip (CLAUDE.md round-2 notes) — it stays opt-in until the
-    compiled-mode attestation (tools/verify_tpu.py) covers it green.
+    Default OFF — CLOSED as not-a-win (docs/KERNELS.md): compiled
+    attestation is green (VERIFY_TPU_r04.json::select2l_compiled_vs_flat,
+    bit-exact on chip; the early depth-3 "miscompile" was unrolled-fold
+    vmem pressure), but with correct refill the two-level form is no
+    faster than the flat kernel at any measured (k, tile, S). Kept as
+    an opt-in experiment only.
     """
     if _FORCED_2L is not None:
         return _FORCED_2L

@@ -35,6 +35,30 @@ def _run_bench(extra_env, timeout=560):
     return out.returncode, json.loads(lines[-1])
 
 
+def test_analytic_step_flops_host_side():
+    """The MFU denominator (bench.py::analytic_step_flops) must be pure
+    host-side accounting: positive FLOPs from the lowered-but-unexecuted
+    step, and ZERO new live device buffers (on the relay a stray
+    device_put/execute would cost ~60ms+ and burn grant memory inside
+    the benchmark)."""
+    import jax
+
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+
+    before = len(jax.live_arrays())
+    fl = bench.analytic_step_flops("PointNet", "bfloat16", B=2, N=64, C=5)
+    assert fl > 0
+    assert len(jax.live_arrays()) == before, "created device buffers"
+    # FLOPs must scale with the workload (sanity that it reads the
+    # lowered module, not a constant).
+    fl2 = bench.analytic_step_flops("PointNet", "bfloat16", B=4, N=64, C=5)
+    assert fl2 > 1.5 * fl
+
+
 def test_bench_total_watchdog_emits_error_json():
     """A post-discovery wedge (simulated by a tiny total timeout) must
     still produce the one-line JSON with an error field and rc!=0 —
