@@ -241,8 +241,35 @@ def main() -> int:
         def sync(x):
             jax.device_get(x.ravel()[0])
 
+        # The sync ITSELF is a ~30-60 ms relay round trip (measured
+        # 28.8 ms this session, AB_SYNC_CHUNK_r05.json) — dispatches
+        # pipeline, so steps chain at device rate, but the one
+        # end-of-chunk fetch is serial. At the historic chunk=10 that
+        # inflated every per-step number by sync/10 (+2.9 ms/step:
+        # PointNet measured 6.4M pts/s at chunk 10 vs 11.4M at chunk
+        # 50). Measure the sync once and size chunks so it is <=5% of
+        # each chunk's wall.
+        _tiny = jax.jit(lambda x: x + 1)
+        _x = _tiny(jnp.zeros((8,), jnp.float32))
+        sync(_x)
+        _lat = []
+        for _ in range(5):
+            _x = _tiny(_x)
+            t0 = time.perf_counter()
+            sync(_x)
+            _lat.append(time.perf_counter() - t0)
+        SYNC_S = float(np.median(_lat))
+        _RESULT["sync_ms"] = round(SYNC_S * 1e3, 2)
+
+        def pick_chunk(pilot_per_step: float) -> int:
+            """Chunk length putting the single end-of-chunk sync at
+            <=5% of the chunk (20x the sync), bounded to keep slow
+            models affordable and the pilot honest."""
+            est = max(pilot_per_step - SYNC_S / 10, pilot_per_step / 4)
+            return int(min(300, max(10, round(20 * SYNC_S / est))))
+
         def measure(model_name: str, dtype_name: str,
-                    chunk: int = 10, n_chunks: int = 6) -> float:
+                    chunk: int | None = None, n_chunks: int = 6) -> float:
             """Median points/sec over chained-step chunks (relay
             throughput fluctuates ±15-40% run to run)."""
             model = create_model(
@@ -255,6 +282,12 @@ def main() -> int:
             for _ in range(5):
                 state, m = step(state, points, labels, lengths, key)
             sync(m["loss"])
+            if chunk is None:
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    state, m = step(state, points, labels, lengths, key)
+                sync(m["loss"])
+                chunk = pick_chunk((time.perf_counter() - t0) / 10)
             per_chunk = []
             for _ in range(n_chunks):
                 t0 = time.perf_counter()
@@ -265,26 +298,37 @@ def main() -> int:
             return B * N / float(np.median(per_chunk))
 
         def measure_scanned(model_name: str, dtype_name: str,
-                            chunk: int = 10, n_chunks: int = 6) -> float:
+                            scan_len: int = 10, n_chunks: int = 6) -> float:
             """Same workload via the fused multi-step program
-            (`train_steps_repeated`): each chunk is ONE dispatched
-            lax.scan of `chunk` train steps, so per-step host dispatch
-            — the binding cost for the lighter models on a loaded or
-            relayed host — is paid once per chunk. This is the shipped
-            `--scan-steps` training path, not a bench-only trick."""
+            (`train_steps_repeated`): each dispatch is ONE lax.scan of
+            `scan_len` train steps, so per-step host dispatch — the
+            binding cost for the lighter models on a loaded or relayed
+            host — is paid once per scan. This is the shipped
+            `--scan-steps` training path, not a bench-only trick. A
+            chunk strings together enough scans that the end-of-chunk
+            sync (~30-60 ms relay fetch) stays <=5% of the chunk."""
             model = create_model(
                 model_name, num_classes=C, dtype=jnp.dtype(dtype_name))
             state = create_train_state(model, points, 1e-3)
             state, ms = state_mod.train_steps_repeated(
-                state, points, labels, lengths, key, n_steps=chunk)
+                state, points, labels, lengths, key, n_steps=scan_len)
             sync(ms["loss"])
+            t0 = time.perf_counter()
+            state, ms = state_mod.train_steps_repeated(
+                state, points, labels, lengths, key, n_steps=scan_len)
+            sync(ms["loss"])
+            pilot = (time.perf_counter() - t0) / scan_len
+            n_scans = max(1, -(-pick_chunk(pilot) // scan_len))
             per_chunk = []
             for _ in range(n_chunks):
                 t0 = time.perf_counter()
-                state, ms = state_mod.train_steps_repeated(
-                    state, points, labels, lengths, key, n_steps=chunk)
+                for _ in range(n_scans):
+                    state, ms = state_mod.train_steps_repeated(
+                        state, points, labels, lengths, key,
+                        n_steps=scan_len)
                 sync(ms["loss"])
-                per_chunk.append((time.perf_counter() - t0) / chunk)
+                per_chunk.append(
+                    (time.perf_counter() - t0) / (scan_len * n_scans))
             return B * N / float(np.median(per_chunk))
 
         # ---- headline: flagship model at the recommended precision ----

@@ -252,6 +252,40 @@ def main() -> int:
 
         capture("pnpp_bf16_step",
                 model_step("PointNet++", dtype=jnp.bfloat16), ())
+    if "pointnet_bf16" in args.sections:
+        import jax.numpy as jnp
+
+        capture("pointnet_bf16_step",
+                model_step("PointNet", dtype=jnp.bfloat16), ())
+    if "pointnet_bf16_scan" in args.sections:
+        # The fused 10-step scan program: one dispatch per 10 steps.
+        # Captured to arbitrate wall vs device-plane time — per-step
+        # wall is identical to the per-dispatch path on this model, so
+        # either the device genuinely takes ~5 ms/step inside the scan
+        # too, or the relay charges per-step overhead even within one
+        # module execution.
+        import jax.numpy as jnp
+
+        from pointseg.models import create_model
+        from pointseg.train import state as state_mod
+        from pointseg.train.state import create_train_state
+
+        model = create_model("PointNet", num_classes=14,
+                             dtype=jnp.bfloat16)
+        pts = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+        lab = jnp.asarray(np.eye(14, dtype=np.uint8)[
+            rng.integers(0, 14, size=(B, N))])
+        ln = jnp.full((B,), N, jnp.int32)
+        st = create_train_state(model, pts, 1e-3)
+        key = jax.random.key(0)
+        holder = {"s": st}
+
+        def scan_fn():
+            holder["s"], ms = state_mod.train_steps_repeated(
+                holder["s"], pts, lab, ln, key, n_steps=10)
+            return ms["loss"]
+
+        capture("pointnet_bf16_scan10", scan_fn, ())
     if "pnext_bf16" in args.sections:
         import jax.numpy as jnp
 
