@@ -28,13 +28,36 @@ def benchmark_fn(
     *args,
     num_runs: int = 50,
     warmup: int = 10,
-    chunk: int = 10,
+    chunk: int | None = None,
 ) -> dict:
     """Times `fn(*args)`: dispatches `chunk` calls back-to-back and
-    synchronizes once per chunk, amortizing host-device round trips."""
+    synchronizes once per chunk, amortizing host-device round trips.
+
+    The sync is itself a serial host round trip (~29-60 ms on relayed
+    TPU runtimes, AB_SYNC_CHUNK_r05.json) while dispatches pipeline at
+    device rate, so with `chunk=None` (default) the chunk length is
+    auto-sized from a pilot so the one end-of-chunk fetch is <=5% of
+    each chunk — short fixed chunks silently inflate per-call time by
+    sync/chunk. Pass an explicit `chunk` to pin the legacy behavior.
+    """
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(out)
+        lat.append(time.perf_counter() - t0)
+    sync_s = float(np.median(lat))
+    if chunk is None:
+        n = min(10, num_runs)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        pilot = (time.perf_counter() - t0) / n
+        est = max(pilot - sync_s / n, pilot / 4)
+        chunk = int(min(300, max(10, round(20 * sync_s / est))))
     times = []
     done = 0
     while done < num_runs:
@@ -53,6 +76,8 @@ def benchmark_fn(
         "max_s": float(times.max()),
         "fps": float(1.0 / times.mean()),
         "num_runs": num_runs,
+        "chunk": int(chunk),
+        "sync_ms": round(sync_s * 1e3, 3),
     }
 
 
