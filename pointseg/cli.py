@@ -630,8 +630,26 @@ def cmd_benchmark(args) -> int:
         for _ in range(args.warmup):
             s = step(s)
         sync(s)
+        # The sync is itself a ~29-60 ms serial round trip on relayed
+        # runtimes while step dispatches pipeline at device rate
+        # (AB_SYNC_CHUNK_r05.json) — size chunks so the one
+        # end-of-chunk fetch is <=5% of each chunk, else per-step time
+        # silently inflates by sync/chunk.
+        lat = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            sync(s)
+            lat.append(_t.perf_counter() - t0)
+        sync_s = float(np.median(lat))
+        n = min(10, args.runs)
+        t0 = _t.perf_counter()
+        for _ in range(n):
+            s = step(s)
+        sync(s)
+        pilot = (_t.perf_counter() - t0) / n
+        est = max(pilot - sync_s / n, pilot / 4)
+        chunk = int(min(300, max(5, round(20 * sync_s / est))))
         times = []
-        chunk = 5
         done = 0
         while done < args.runs:
             n = min(chunk, args.runs - done)
@@ -649,6 +667,8 @@ def cmd_benchmark(args) -> int:
             "max_s": float(np.max(times)),
             "fps": 1.0 / mean,
             "points_per_sec": B * N / mean,
+            "chunk": chunk,
+            "sync_ms": round(sync_s * 1e3, 3),
         }
     else:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
