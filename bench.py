@@ -261,12 +261,10 @@ def main() -> int:
         SYNC_S = float(np.median(_lat))
         _RESULT["sync_ms"] = round(SYNC_S * 1e3, 2)
 
+        from pointseg.utils.benchmark import pick_chunk as _pick_chunk
+
         def pick_chunk(pilot_per_step: float) -> int:
-            """Chunk length putting the single end-of-chunk sync at
-            <=5% of the chunk (20x the sync), bounded to keep slow
-            models affordable and the pilot honest."""
-            est = max(pilot_per_step - SYNC_S / 10, pilot_per_step / 4)
-            return int(min(300, max(10, round(20 * SYNC_S / est))))
+            return _pick_chunk(SYNC_S, pilot_per_step)
 
         def measure(model_name: str, dtype_name: str,
                     chunk: int | None = None, n_chunks: int = 6) -> float:

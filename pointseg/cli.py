@@ -646,9 +646,10 @@ def cmd_benchmark(args) -> int:
         for _ in range(n):
             s = step(s)
         sync(s)
-        pilot = (_t.perf_counter() - t0) / n
-        est = max(pilot - sync_s / n, pilot / 4)
-        chunk = int(min(300, max(5, round(20 * sync_s / est))))
+        from pointseg.utils.benchmark import pick_chunk
+
+        chunk = pick_chunk(sync_s, (_t.perf_counter() - t0) / n,
+                           pilot_n=n, lo=5)
         times = []
         done = 0
         while done < args.runs:

@@ -23,6 +23,19 @@ def _sync(out) -> None:
     jax.device_get(leaf.ravel()[0])
 
 
+def pick_chunk(sync_s: float, pilot_per_step: float, pilot_n: int = 10,
+               lo: int = 10, hi: int = 300) -> int:
+    """Chunk length putting the single end-of-chunk sync at <=5% of the
+    chunk (20x the sync), from a pilot of `pilot_n` calls timed WITH
+    one trailing sync. The sync is a ~29-60 ms serial round trip on
+    relayed runtimes while dispatches pipeline (AB_SYNC_CHUNK_r05.json)
+    — short fixed chunks silently inflate per-call time by sync/chunk.
+    Bounds keep slow workloads affordable (`lo`) and cap pathological
+    pilots (`hi`)."""
+    est = max(pilot_per_step - sync_s / pilot_n, pilot_per_step / 4)
+    return int(min(hi, max(lo, round(20 * sync_s / est))))
+
+
 def benchmark_fn(
     fn: Callable,
     *args,
@@ -55,9 +68,8 @@ def benchmark_fn(
         for _ in range(n):
             out = fn(*args)
         _sync(out)
-        pilot = (time.perf_counter() - t0) / n
-        est = max(pilot - sync_s / n, pilot / 4)
-        chunk = int(min(300, max(10, round(20 * sync_s / est))))
+        chunk = pick_chunk(sync_s, (time.perf_counter() - t0) / n,
+                           pilot_n=n)
     times = []
     done = 0
     while done < num_runs:

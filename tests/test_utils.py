@@ -64,6 +64,25 @@ def test_benchmark_fn(rng):
     assert stats["points_per_sec"] > 0
 
 
+def test_pick_chunk_sync_amortization():
+    """Chunk sizing must keep the serial end-of-chunk sync <=5% of the
+    chunk (AB_SYNC_CHUNK_r05.json): at the measured relay numbers
+    (sync 29 ms, PointNet ~2.4 ms/step seen as ~5.3 ms in a 10-step
+    pilot) it must NOT stay at the historically-inflating 10."""
+    from pointseg.utils.benchmark import pick_chunk
+
+    # relay regime: sync 29 ms, pilot 5.3 ms/step (2.4 true + 2.9 sync/10)
+    c = pick_chunk(0.029, 0.0053)
+    assert c >= 200  # 20*0.029/0.0024 ≈ 242
+    # slow model (DGCNN 72 ms steps): sync negligible, stays at the floor
+    assert pick_chunk(0.029, 0.0749) == 10
+    assert pick_chunk(0.029, 0.0749, lo=5) == 8
+    # CPU regime: sub-ms sync, floor
+    assert pick_chunk(0.0003, 0.005) == 10
+    # pathological pilot (sync >> pilot): est falls back to pilot/4, capped
+    assert pick_chunk(0.1, 0.002) == 300
+
+
 def test_memory_usage_shape():
     m = get_memory_usage()
     assert "devices" in m and len(m["devices"]) >= 1
